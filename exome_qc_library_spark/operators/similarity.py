@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns: brute-force + LSH/IVF paths.
+
+Target analog of the reference's PCA/projection linear algebra
+(``hl.hwe_normalized_pca`` K6, ``pc_project`` K7 —
+``/root/reference/shared/samples_qc.py:185,565-596``): vector math over
+``array<float>`` columns, expressed with ``zip_with``/``aggregate``
+higher-order functions (JVM-side, deterministic fold order).
+
+* :func:`cosine_topk_brute` — exact baseline: broadcast the (small) query
+  set, score every row, per-query top-k via window. One pass over the
+  corpus; the corpus is never self-joined.
+* :func:`ivf_assign` / :func:`cosine_topk_ivf` — scale path: k-means-lite
+  (seeded, fixed iterations) centroid table; each row scored only against
+  its nearest-centroid bucket (inverted-file ANN), cutting the scan by
+  the bucket fan-out. Centroids are a broadcast table.
+* :func:`embedding_near_dup_pairs` — random-hyperplane LSH (SimHash for
+  vectors): bucket on sign-pattern, verify cosine within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_expr, dot_expr, norm_expr
+
+
+def cosine_topk_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query. Plan: broadcast-nested-loop join
+    (queries are small), cosine in one codegen'd projection, per-query
+    window top-k. Deterministic ties: (score desc, corpus id asc)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    scored = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        q, F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each row to its max-cosine centroid (broadcast argmax join)."""
+    c = F.broadcast(centroids.select(cent_id, cent_vec))
+    scored = df.join(c).withColumn("__sim", cosine_expr(F.col(vec_col), F.col(cent_vec)))
+    w = W.partitionBy(*df.columns).orderBy(F.col("__sim").desc(), F.col(cent_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", cent_vec)
+    )
+
+
+def train_centroids_lite(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded k-means-lite entirely in DataFrames: init = hash-sampled rows,
+    iterate assign→mean. Deterministic (hash sampling, fixed iterations)."""
+    spark = df.sparkSession
+    init = (
+        df.select(F.col(vec_col))
+        .withColumn("__r", F.xxhash64(F.to_json(F.struct(vec_col)), F.lit(seed)))
+        .orderBy("__r")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.monotonically_increasing_id())
+    )
+    cents = init.select(
+        F.row_number().over(W.orderBy("__r")).alias("centroid_id"),
+        F.col(vec_col).alias("centroid"),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(df.select(vec_col), cents, vec_col=vec_col)
+        cents = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.array(
+                    *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)]
+                ).alias("centroid")
+            )
+        )
+        cents = spark.createDataFrame(cents.collect(), schema=cents.schema)  # small: materialize
+    return cents
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ANN: score queries only against rows in their n_probe nearest
+    centroid buckets. Equi-join on centroid_id replaces the full cross."""
+    c = F.broadcast(centroids)
+    corp = ivf_assign(corpus, centroids, vec_col=vec_col)
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(c)
+    qs = qs.withColumn("__sim", cosine_expr(F.col("qv"), F.col("centroid")))
+    wq = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    probes = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = corp.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    ).join(F.broadcast(probes), "centroid_id")
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "cosine", cosine_expr(F.col("qv"), F.col("cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    min_cosine: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign-pattern bucket key (one int), exact
+    cosine verification within buckets. Shuffle key = bucket, not pairs."""
+    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    sig = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = dot_expr(F.col(vec_col), plane)
+        sig = sig + F.when(d > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    bucketed = df.select(F.col(id_col).alias("k"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", sig
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.k") < F.col("b.k")))
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,83 @@
+"""Generic staged pipeline runner with existence-gated checkpoint resume.
+
+The Spark re-expression of the reference's driver loop
+(``/root/reference/exome_qc/exome_qc.py:68-588``): stepcount 1..N, each
+stage gated on ``check_exists(stage_output)`` (``shared/utils.py:227-247``)
+— skip if present, else compute from the previous checkpoint and
+materialize. Stages are pure ``DataFrame → DataFrame`` functions;
+the runner owns materialization, manifests (params/lineage/metrics)
+and accounting, so stage code stays declarative for Catalyst.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from ..functions.flags import flag_count_df
+from ..sources.checkpoint import CheckpointStore
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[DataFrame], DataFrame]
+    params: dict[str, Any] = field(default_factory=dict)
+    # flag column to snapshot accounting for (the reference's per-stage
+    # count_failing reports, shared/variant_qc.py:638-723)
+    account_flags: str | None = None
+
+
+@dataclass
+class StageResult:
+    name: str
+    resumed: bool
+    seconds: float
+    rows: int | None
+
+
+class Pipeline:
+    def __init__(self, stages: list[Stage], store: CheckpointStore) -> None:
+        self.stages = stages
+        self.store = store
+        self.results: list[StageResult] = []
+
+    def run(self, df: DataFrame, from_stage: str | None = None) -> DataFrame:
+        """Run all stages; any stage whose checkpoint exists is read back
+        instead of recomputed (cold run ≡ resumed run, FIXTURES.md §7.4)."""
+        prev_name = None
+        started = from_stage is None
+        for st in self.stages:
+            if not started and st.name == from_stage:
+                started = True
+            t0 = time.monotonic()
+            if self.store.exists(st.name):
+                df = self.store.read(st.name)
+                self.results.append(
+                    StageResult(st.name, True, time.monotonic() - t0, None)
+                )
+            else:
+                out = st.fn(df)
+                metrics = None
+                df = self.store.write(
+                    out, st.name, params=st.params, parent=prev_name, metrics=metrics
+                )
+                if st.account_flags and st.account_flags in df.columns:
+                    acct = flag_count_df(df, st.account_flags)
+                    self.store.write(
+                        acct,
+                        f"{st.name}__flag_counts",
+                        params={"of": st.name},
+                        parent=st.name,
+                        count_rows=False,
+                    )
+                man = self.store.manifest(st.name) or {}
+                self.results.append(
+                    StageResult(st.name, False, time.monotonic() - t0, man.get("rows"))
+                )
+            prev_name = st.name
+        return df

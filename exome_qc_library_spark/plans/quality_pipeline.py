@@ -1,0 +1,143 @@
+"""The flagship web-text QC pipeline — the 11-step exome_qc.py analog.
+
+Stage map (SURVEY.md §7.1):
+
+  S0 ingest        html → extracted text (byte-identical), lineage cols
+  S2 blocklist     url/host anti-list + substring flags        [optional]
+  S3 hard_filters  Gopher/C4 heuristics → low_pass_failing_qc
+  S4 exact_dedup   sha2 content groups → exact_duplicate flags
+  S5 near_dedup    MinHash-LSH → clusters → near_duplicate flags
+  S7 langid        vectorized UDF language-ID + mismatch flag
+  S9 final_filters strict thresholds + perplexity → final_failing_qc
+  S8 host_qc       per-host batch-stratified outlier flags
+  S11 verdict      keep = all flag arrays empty; scrub keepers
+
+Every stage preserves row count and the url key set (README.md:51-53
+invariant); every stage writes a resumable checkpoint with manifest
+(the reference's checkpoint-per-step, ``exome_qc/exome_qc.py:113,...``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.blocklist import flag_blocklisted, flag_substring_matches
+from ..operators.dedup import flag_exact_duplicates, flag_near_duplicates
+from ..operators.hard_filters import (
+    FINAL,
+    LOW_PASS,
+    QualityThresholds,
+    apply_hard_filters,
+    thresholds_metadata,
+)
+from ..operators.ingest import ingest_pages
+from ..operators.langid import flag_lang_mismatch, with_langid_expr, with_langid_udf
+from ..operators.perplexity import flag_high_perplexity, with_perplexity
+from ..operators.host_qc import flag_host_outliers
+from ..operators.scrub import apply_scrub, with_pii_hits
+from ..operators.verdict import with_verdict
+from ..sources.checkpoint import CheckpointStore
+from .pipeline import Pipeline, Stage
+
+DEFAULT_MAX_PERPLEXITY = 5000.0
+
+
+def build_quality_pipeline(
+    store: CheckpointStore,
+    blocklist: DataFrame | None = None,
+    url_substrings: Sequence[str] = (),
+    low_pass: QualityThresholds = LOW_PASS,
+    final: QualityThresholds = FINAL,
+    max_perplexity: float = DEFAULT_MAX_PERPLEXITY,
+    near_dup_threshold: float = 0.8,
+    use_udf_langid: bool = True,
+) -> Pipeline:
+    stages: list[Stage] = [
+        Stage("s0_ingest", lambda df: ingest_pages(df), {"extractor": "body_p_v1"}),
+    ]
+    if blocklist is not None or url_substrings:
+
+        def _blk(df: DataFrame) -> DataFrame:
+            if blocklist is not None:
+                df = flag_blocklisted(df, blocklist)
+            if url_substrings:
+                df = flag_substring_matches(df, url_substrings)
+            return df
+
+        stages.append(Stage("s2_blocklist", _blk, {"substrings": list(url_substrings)}))
+
+    stages += [
+        Stage(
+            "s3_hard_filters",
+            lambda df: apply_hard_filters(df, "low_pass_failing_qc", low_pass),
+            thresholds_metadata(low_pass),
+            account_flags="low_pass_failing_qc",
+        ),
+        Stage(
+            "s4_exact_dedup",
+            lambda df: flag_exact_duplicates(df),
+            {},
+            account_flags="low_pass_failing_qc",
+        ),
+        Stage(
+            "s5_near_dedup",
+            lambda df: flag_near_duplicates(df, threshold=near_dup_threshold),
+            {"threshold": near_dup_threshold},
+            account_flags="final_failing_qc",
+        ),
+        Stage(
+            "s7_langid",
+            lambda df: flag_lang_mismatch(
+                (with_langid_udf if use_udf_langid else with_langid_expr)(df)
+            ),
+            {"scorer": "nb_trigram_v1" if use_udf_langid else "stopword_density_v1"},
+            account_flags="final_failing_qc",
+        ),
+        Stage(
+            "s9_final_filters",
+            lambda df: flag_high_perplexity(
+                apply_hard_filters(
+                    with_perplexity(df), "final_failing_qc", final, compute_metrics=False
+                ),
+                max_perplexity,
+            ),
+            dict(thresholds_metadata(final), max_perplexity=max_perplexity),
+            account_flags="final_failing_qc",
+        ),
+        Stage(
+            "s8_host_qc",
+            lambda df: flag_host_outliers(df),
+            {"k_sigma": 4.0},
+            account_flags="final_failing_qc",
+        ),
+        Stage(
+            "s11_verdict",
+            lambda df: apply_scrub(with_pii_hits(with_verdict(df))),
+            {},
+        ),
+    ]
+    return Pipeline(stages, store)
+
+
+def run_quality_pipeline(pages: DataFrame, store: CheckpointStore, **kwargs) -> DataFrame:
+    return build_quality_pipeline(store, **kwargs).run(pages)
+
+
+def summarize_verdicts(df: DataFrame) -> DataFrame:
+    """Flagship report: per-source keep rate + top fail reasons
+    (SURVEY.md §7.2's 'one real query')."""
+    return (
+        df.select(
+            "source_file",
+            F.col("keep"),
+            F.explode_outer(
+                F.concat(F.col("low_pass_failing_qc"), F.col("final_failing_qc"))
+            ).alias("flag"),
+        )
+        .groupBy("source_file", "flag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"))
+        .orderBy(F.desc("n"), "flag")
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Mirrors the reference's single ``hl.init()`` entry point
+(``/root/reference/exome_qc/exome_qc.py:24``) but with Spark-native
+tuning: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow transport on for the pandas-UDF stages, shuffle
+partitions sized to cores for local mode, UTC session timezone so
+results are comparable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(
+    app_name: str = "exome_qc_library_spark",
+    parallelism: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession for local[N] with scale-aware defaults.
+
+    On a real cluster the same confs apply; only ``master`` changes
+    (``spark-submit --master ... --py-files dist.zip``).
+    """
+    n = parallelism or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        # shuffle partitions ~ cores in local mode; a 1000-executor run
+        # would set this to ~2-3x total cores instead.
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # large text values → keep Arrow batches bounded (SURVEY.md §4.3)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,108 @@
+"""CheckpointStore — existence-gated, resumable stage materialization.
+
+The core engine feature (SURVEY.md §4 item 1). Mirrors the reference's
+pattern of (a) ``mt.checkpoint(path, overwrite=True)`` after every
+expensive step to cut lineage (``/root/reference/shared/variant_qc.py:
+218,386,517,633``), and (b) skipping a stage entirely when its output
+already exists (``exome_qc/exome_qc.py:73,116-117,124,169`` +
+``shared/utils.py:227-247``), so a killed run resumes from the last
+completed stage.
+
+Each checkpoint carries a manifest with stage id, parameters, parent
+stage (lineage), row count and optional per-flag metrics — the Spark
+replacement for Hail globals (``shared/variant_qc.py:775-781``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table_format import ParquetManifestFormat, default_format
+
+
+class CheckpointStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fmt: ParquetManifestFormat | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt or default_format()
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def exists(self, stage: str) -> bool:
+        return self.fmt.exists(self.spark, self.path(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.fmt.read(self.spark, self.path(stage))
+
+    def manifest(self, stage: str) -> dict[str, Any] | None:
+        return self.fmt.read_manifest(self.path(stage))
+
+    def write(
+        self,
+        df: DataFrame,
+        stage: str,
+        params: dict[str, Any] | None = None,
+        parent: str | None = None,
+        metrics: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+        count_rows: bool = True,
+    ) -> DataFrame:
+        """Materialize + manifest, then return the re-read DataFrame
+        (write-read barrier = lineage cut, exactly ``mt.checkpoint``)."""
+        path = self.path(stage)
+        meta: dict[str, Any] = {
+            "stage": stage,
+            "params": params or {},
+            "parent": parent,
+            "schema": df.schema.jsonValue(),
+        }
+        if metrics:
+            meta["metrics"] = metrics
+        self.fmt.write(df, path, metadata=meta, partition_by=partition_by)
+        out = self.fmt.read(self.spark, path)
+        if count_rows:
+            # cheap on parquet (footer statistics); recorded for accounting
+            n = out.count()
+            meta["rows"] = n
+            self.fmt.write_manifest_update(path, meta) if hasattr(
+                self.fmt, "write_manifest_update"
+            ) else self._rewrite_manifest(path, meta)
+        return out
+
+    def _rewrite_manifest(self, path: str, meta: dict[str, Any]) -> None:
+        import json
+
+        tmp = os.path.join(path, "_manifest.json.tmp")
+        final = os.path.join(path, "_manifest.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True, default=str)
+        os.replace(tmp, final)
+
+    def stage(
+        self,
+        name: str,
+        fn: Callable[[DataFrame], DataFrame],
+        upstream: DataFrame,
+        params: dict[str, Any] | None = None,
+        parent: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Run-or-resume: if the checkpoint exists, read it and skip the
+        computation (the reference's per-stage gating loop,
+        ``exome_qc/exome_qc.py:116-117``)."""
+        if self.exists(name):
+            return self.read(name)
+        return self.write(
+            fn(upstream), name, params=params, parent=parent, partition_by=partition_by
+        )

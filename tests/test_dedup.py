@@ -1,0 +1,99 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, exact Jaccard, components.
+
+Near-dup analog of the reference's relatedness stage
+(shared/samples_qc.py:737-872); representative choice mirrors its
+independent-set preference (earliest wins)."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from exome_qc_library_spark.operators.dedup import (
+    connected_components_df,
+    connected_components_driver,
+    flag_exact_duplicates,
+    flag_near_duplicates,
+    jaccard_pairs_exact,
+    minhash_candidate_pairs,
+)
+
+
+def _ts(i):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight " * 4
+    rows = [
+        ("u1", _ts(1), base),
+        ("u2", _ts(2), base),  # exact dup of u1 (later → flagged)
+        ("u3", _ts(0), base + " tiny edit"),  # near dup, EARLIEST crawl
+        ("u4", _ts(3), "completely different content about spark query engines and shuffles " * 5),
+        ("u5", _ts(4), None),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+
+
+def test_exact_dedup_earliest_wins(spark):
+    out = flag_exact_duplicates(_docs(spark))
+    flags = {r["url"]: r["low_pass_failing_qc"] for r in out.collect()}
+    assert flags["u1"] == []
+    assert flags["u2"] == ["exact_duplicate"]
+    assert flags["u3"] == [] and flags["u4"] == [] and flags["u5"] == []
+    assert out.count() == 5
+
+
+def test_minhash_finds_planted_pair(spark):
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_candidate_pairs(_docs(spark))
+        .filter(F.col("jaccard_est") > 0.5)
+        .collect()
+    }
+    assert ("u1", "u2") in pairs
+    assert any({"u3"} & set(p) for p in pairs)  # near dup found
+    assert not any("u4" in p for p in pairs)
+
+
+def test_flag_near_duplicates_earliest_representative(spark):
+    out = flag_near_duplicates(_docs(spark), threshold=0.5)
+    flags = {r["url"]: r["final_failing_qc"] for r in out.collect()}
+    # u3 has the earliest warc_ts in the cluster → representative
+    assert flags["u3"] == []
+    assert flags["u1"] == ["near_duplicate"] and flags["u2"] == ["near_duplicate"]
+    assert flags["u4"] == [] and flags["u5"] == []
+    assert out.count() == 5
+
+
+def test_exact_jaccard_agrees(spark):
+    pairs = {
+        (r["a"], r["b"]) for r in jaccard_pairs_exact(_docs(spark), "url", "text", threshold=0.6).collect()
+    }
+    assert ("u1", "u2") in pairs
+
+
+def test_connected_components_driver_and_df_agree(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "a string, b string"
+    )
+    drv = connected_components_driver(edges)
+    assert drv == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    dfc = {r["k"]: r["dup_cluster_id"] for r in connected_components_df(edges).collect()}
+    assert dfc == drv
+
+
+def test_synth_dup_clusters_detected(spark, pages):
+    # the synthesizer plants exact-dup class 6 docs; group-by-text must find them
+    from exome_qc_library_spark.operators.dedup import flag_exact_duplicates
+
+    out = flag_exact_duplicates(pages)
+    n_dup = out.filter(F.array_contains("low_pass_failing_qc", "exact_duplicate")).count()
+    expected = (
+        pages.filter("text is not null")
+        .groupBy("text")
+        .count()
+        .filter("count > 1")
+        .agg(F.sum(F.col("count") - 1))
+        .collect()[0][0]
+    )
+    assert n_dup == (expected or 0)

@@ -1,0 +1,83 @@
+"""End-to-end pipeline invariants (FIXTURES.md §7):
+1. stages preserve row count + url key set;
+2. keep == conjunction of empty flag arrays;
+3. resume from checkpoints reproduces the cold run exactly;
+4. per-flag accounting is consistent.
+"""
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from exome_qc_library_spark.plans.quality_pipeline import (
+    build_quality_pipeline,
+    summarize_verdicts,
+)
+from exome_qc_library_spark.sources.checkpoint import CheckpointStore
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, pages):
+    root = tempfile.mkdtemp(prefix="ckpt_")
+    store = CheckpointStore(spark, root)
+    pipe = build_quality_pipeline(store)
+    out = pipe.run(pages)
+    out.cache().count()
+    yield {"out": out, "root": root, "pipe": pipe, "pages": pages, "spark": spark}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rows_and_urls_preserved(pipeline_out):
+    out, pages = pipeline_out["out"], pipeline_out["pages"]
+    assert out.count() == pages.count()
+    assert (
+        out.select("url").exceptAll(pages.select("url")).count() == 0
+        and pages.select("url").exceptAll(out.select("url")).count() == 0
+    )
+
+
+def test_keep_is_flag_conjunction(pipeline_out):
+    out = pipeline_out["out"]
+    bad = out.filter(
+        F.col("keep")
+        != ((F.size("low_pass_failing_qc") == 0) & (F.size("final_failing_qc") == 0))
+    ).count()
+    assert bad == 0
+
+
+def test_resume_reproduces_cold_run(pipeline_out):
+    out, root, spark, pages = (
+        pipeline_out["out"],
+        pipeline_out["root"],
+        pipeline_out["spark"],
+        pipeline_out["pages"],
+    )
+    store2 = CheckpointStore(spark, root)
+    pipe2 = build_quality_pipeline(store2)
+    # input deliberately empty: every stage must come from its checkpoint
+    out2 = pipe2.run(pages.limit(0))
+    assert all(r.resumed for r in pipe2.results)
+    cols = ["url", "keep", "low_pass_failing_qc", "final_failing_qc", "scrubbed_text"]
+    assert out.select(cols).exceptAll(out2.select(cols)).count() == 0
+
+
+def test_keep_rate_sane(pipeline_out):
+    out = pipeline_out["out"]
+    rate = out.filter("keep").count() / out.count()
+    assert 0.3 < rate < 0.9
+
+
+def test_summary_report(pipeline_out):
+    rep = summarize_verdicts(pipeline_out["out"])
+    rows = rep.collect()
+    assert any(r["flag"] is None and r["n_keep"] > 0 for r in rows)
+    flags = {r["flag"] for r in rows}
+    assert {"word_count", "stopword_density"} & flags
+
+
+def test_scrubbed_keepers_have_no_pii(pipeline_out):
+    out = pipeline_out["out"]
+    hits = out.filter(F.col("keep") & F.col("scrubbed_text").rlike(r"[\w.+-]+@[\w-]+\.[A-Za-z]{2,}")).count()
+    assert hits == 0
