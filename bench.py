@@ -1,0 +1,105 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline workloads:
+* ``pipeline`` — the full staged QC pipeline (ingest → hard filters →
+  exact+near dedup → langid UDF → final filters+perplexity → host QC →
+  verdict+scrub) over a deterministically synthesized pages table
+  (BENCH_DOCS docs, seed 42), including checkpoint materialization —
+  the end-to-end docs/sec number the north rule asks for.
+* a set of operator queries from the driver contract run at
+  ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_DOCS (default 50000).
+
+For the N-vs-4N scaling study (BASELINE.md protocol) run
+``tools/bench_scaling.py`` which invokes this at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+BENCH_QUERIES = [
+    "flagship_flag_counts",
+    "text_metrics",
+    "langid_expr",
+    "scrub_pii",
+    "token_counts",
+    "exact_dedup",
+    "join_agg_revenue",
+    "window_topk",
+    "sessionize",
+    "segment_zscore",
+]
+
+
+def main() -> None:
+    from exome_qc_library_spark.entry_queries import QUERIES
+    from exome_qc_library_spark.plans.quality_pipeline import build_quality_pipeline
+    from exome_qc_library_spark.session import build_session
+    from exome_qc_library_spark.sources.checkpoint import CheckpointStore
+    from exome_qc_library_spark.synth import synthesize_pages
+
+    spark = build_session(app_name="bench", parallelism=CPUS)
+    timings: dict[str, float] = {}
+
+    # -- operator queries at SF_DIR (warm each once at tiny scale? no: cold)
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.monotonic()
+        # count() forces full execution without driver-side materialization
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+
+    # -- end-to-end pipeline on synthesized pages
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        synthesize_pages(
+            spark, n_docs=BENCH_DOCS, seed=42, with_edge_cases=False
+        ).write.mode("overwrite").parquet(os.path.join(pages_dir, "pages"))
+        pages = spark.read.parquet(os.path.join(pages_dir, "pages"))
+        t0 = time.monotonic()
+        pipe = build_quality_pipeline(CheckpointStore(spark, ckpt_dir))
+        out = pipe.run(pages)
+        n_docs = out.count()
+        pipeline_sec = time.monotonic() - t0
+        timings["pipeline_e2e"] = round(pipeline_sec, 3)
+        docs_per_sec = round(n_docs / pipeline_sec, 1)
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "pipeline_docs": n_docs,
+                "pipeline_docs_per_sec": docs_per_sec,
+                "parallelism": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

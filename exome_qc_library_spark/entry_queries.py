@@ -507,6 +507,305 @@ SELECT user_id, sum(ns) AS n_sessions FROM g GROUP BY user_id
 """
 
 
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 many-aggregate scan (TPC-H Q1 shape). Double sums go through
+    DECIMAL(38,6) so the result is exact and order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(38,6)") - dec("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q_TPCH_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6))) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semi-join: orders whose customer is in nations 0-4 (left_semi)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q_SEMI_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_nationkey < 5)
+GROUP BY o_orderstatus
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 union + P12 distinct: en∪fr doc sources, deduplicated."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("source", "lang")
+    b = docs.filter(F.col("lang") == "fr").select("source", "lang")
+    return a.unionByName(b).distinct()
+
+
+_Q_UNION_SQL = """
+SELECT DISTINCT source, lang FROM (
+  SELECT source, lang FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT source, lang FROM documents WHERE lang = 'fr'
+) t
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 moment stats struct per group (hl.agg.stats analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.avg("n_chars"), 4).alias("mean"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("stdev"),
+        F.min("n_chars").alias("min"),
+        F.max("n_chars").alias("max"),
+        F.count("n_chars").alias("n"),
+        F.sum("n_chars").alias("sum"),
+    )
+
+
+_Q_STATS_SQL = """
+SELECT lang, round(avg(n_chars), 4) AS mean, round(stddev_samp(n_chars), 4) AS stdev,
+       min(n_chars) AS min, max(n_chars) AS max, count(n_chars) AS n, sum(n_chars) AS sum
+FROM documents GROUP BY lang
+"""
+
+
+def q_explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 explode + A9 + O ordered limit: top-20 words in en docs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        docs.select(F.explode(words_expr(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+_Q_TOP_WORDS_SQL = """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+  FROM documents WHERE lang = 'en'
+) t
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 point-in-interval annotation via broadcast range join."""
+    docs = _t(spark, sf_dir, "documents")
+    bands = docs.sparkSession.createDataFrame(
+        [("xs", 0, 100), ("s", 100, 250), ("m", 250, 400), ("l", 400, 1_000_000)],
+        "band string, lo int, hi int",
+    )
+    joined = docs.join(
+        F.broadcast(bands), (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") < F.col("hi")), "left"
+    )
+    return joined.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+
+
+_Q_INTERVAL_SQL = """
+WITH bands(band, lo, hi) AS (VALUES ('xs', 0, 100), ('s', 100, 250), ('m', 250, 400), ('l', 400, 1000000))
+SELECT band, count(*) AS n
+FROM documents LEFT JOIN bands ON n_chars >= lo AND n_chars < hi
+GROUP BY band
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/K5 exact n-gram Jaccard near-dup pairs, blocked by source."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("k"), F.col("source").alias("blk"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")))
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+_Q_JACCARD_SQL = """
+WITH s AS (
+  SELECT doc_id AS k, source AS blk,
+         list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                ELSE [] END) AS sh
+  FROM (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+    FROM documents
+  ) w
+  WHERE len(sh) > 0
+)
+SELECT a.k AS a, b.k AS b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.blk = b.blk AND a.k < b.k
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: brute-force cosine top-3 neighbors for query vectors
+    (vec_id < 5); deterministic ties by neighbor id."""
+    from .operators.similarity import cosine_topk_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_brute(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+_Q_EMB_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+  FROM q JOIN c ON neighbor_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (exact verify path
+    of the vector-LSH dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from .functions.arrays import cosine_expr
+
+    a = emb.select(F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
+        .select("a", "b", F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
+_Q_EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+"""
+
+
+def q_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep/drop verdict from the documents-table rule set (the
+    F1-comparable per-record decision column)."""
+    from .functions.flags import add_flags
+
+    df = _doc_metrics_df(spark, sf_dir)
+    df = add_flags(df, "flags", _doc_rules_spark())
+    return df.select(
+        "doc_id",
+        (F.size("flags") == 0).alias("keep"),
+        F.concat_ws(",", F.array_sort("flags")).alias("fail_reasons"),
+    )
+
+
+def _doc_verdicts_sql() -> str:
+    tags = ",\n".join(
+        f"CASE WHEN coalesce({pred}, false) THEN '{tag}' END" for tag, pred in _DOC_RULES_SQL
+    )
+    return f"""
+WITH {_metrics_cte()},
+fl AS (
+  SELECT doc_id, list_filter([{tags}], x -> x IS NOT NULL) AS flags FROM m
+)
+SELECT doc_id, len(flags) = 0 AS keep,
+       coalesce(array_to_string(list_sort(flags), ','), '') AS fail_reasons
+FROM fl
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 MinHash-LSH candidate pairs (rows-only: DuckDB lacks xxhash64;
+    verified against exact Jaccard in tests)."""
+    from .operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "url")
+    return minhash_candidate_pairs(docs, key_col="url").select(
+        "a", "b", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 SimHash sketch column (rows-only; hamming verified in tests)."""
+    from .functions.hashing import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score over the metric columns."""
+    df = _doc_metrics_df(spark, sf_dir)
+    df = df.withColumn(
+        "dup_line_frac", F.lit(0.0)
+    )  # single-line docs: constant, keeps score comparable
+    from .operators.tokenize import quality_score_expr
+
+    return df.select("doc_id", F.round(quality_score_expr(), 6).alias("quality_score"))
+
+
+_Q_QUALITY_SQL = (
+    lambda: f"""
+WITH {_metrics_cte()}
+SELECT doc_id,
+  round(greatest(0.0, least(1.0,
+      0.25 * greatest(0.0, least(1.0, stopword_density / 0.4))
+    + 0.25 * greatest(0.0, least(1.0, alpha_word_ratio))
+    + 0.25 * greatest(0.0, least(1.0, 1.0 - symbol_ratio / 0.2))
+    + 0.25 * greatest(0.0, least(1.0, 1.0 - 0.0)))), 6) AS quality_score
+FROM m
+"""
+)
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -528,4 +827,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "json_props": (q_json_props, _Q_JSON_SQL),
     "time_window": (q_time_window, _Q_TIME_SQL),
     "sessionize": (q_sessionize, _Q_SESSION_SQL),
+    "tpch_pricing": (q_tpch_pricing, _Q_TPCH_SQL),
+    "semi_join": (q_semi_join, _Q_SEMI_SQL),
+    "union_distinct": (q_union_distinct, _Q_UNION_SQL),
+    "stats_moments": (q_stats_moments, _Q_STATS_SQL),
+    "explode_top_words": (q_explode_top_words, _Q_TOP_WORDS_SQL),
+    "interval_join": (q_interval_join, _Q_INTERVAL_SQL),
+    "jaccard_pairs": (q_jaccard_pairs, _Q_JACCARD_SQL),
+    "embedding_topk": (q_embedding_topk, _Q_EMB_TOPK_SQL),
+    "embedding_neardup": (q_embedding_neardup, _Q_EMB_NEARDUP_SQL),
+    "doc_verdicts": (q_doc_verdicts, _doc_verdicts_sql()),
+    "quality_score": (q_quality_score, _Q_QUALITY_SQL()),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash_sketch": (q_simhash, None),
 }

@@ -25,6 +25,10 @@ Scale design (10^12 docs):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -83,6 +87,32 @@ def flag_exact_duplicates(
 # ----------------------------------------------------------- MinHash LSH
 
 
+def _minhash_sig_udf(num_perm: int, seed: int = 42):
+    """Vectorized signature kernel: per Arrow batch, numpy computes all
+    permutations of a row at once — ((h·a + b) mod P).min(axis=1) over a
+    (perm × shingles) matrix. ~100× the interpreted higher-order-function
+    path measured at 50k docs; base hashes stay JVM-side (xxhash64)."""
+    from ..functions.hashing import _MH_PRIME, _mh_params
+
+    params = _mh_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hs_col in it:
+            out = []
+            for hs in hs_col:
+                if hs is None or len(hs) == 0:
+                    out.append(None)
+                    continue
+                h = np.asarray(hs, dtype=np.int64)[None, :]
+                out.append(((h * a + b) % _MH_PRIME).min(axis=1).tolist())
+            yield pd.Series(out)
+
+    return _sig
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     key_col: str = "url",
@@ -112,39 +142,44 @@ def minhash_candidate_pairs(
         .localCheckpoint(eager=False)
     )
     sk = hashes.select(
-        "k", minhash_signature(F.col("hs"), num_perm).alias("sig")
+        "k", _minhash_sig_udf(num_perm)(F.col("hs")).alias("sig")
     ).localCheckpoint(eager=False)
+    # Band on the KEY only — the 8·num_perm-byte signature must not ride
+    # through the bands-way exploded shuffle (at 50k docs that is ~450 MB of
+    # shuffle for 26 MB of signatures; at 10^12 docs it is the bottleneck).
+    # Signatures are joined back for the (rare) candidate pairs instead.
     banded = sk.select(
-        "k", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
-    ).select("k", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+        "k", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+    ).select("k", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     # cap degenerate buckets (80k-style guard): keep first max_bucket members
     grouped = banded.groupBy("band", "bucket").agg(
-        F.slice(F.array_sort(F.collect_list(F.struct("k", "sig"))), 1, max_bucket).alias("ms")
+        F.slice(F.array_sort(F.collect_list("k")), 1, max_bucket).alias("ks")
     )
-    pairs = (
-        grouped.filter(F.size("ms") > 1)
+    cand = (
+        grouped.filter(F.size("ks") > 1)
         .select(
             F.explode(
                 F.filter(
                     F.flatten(
                         F.transform(
-                            F.col("ms"),
+                            F.col("ks"),
                             lambda a: F.transform(
-                                F.col("ms"), lambda b: F.struct(a.alias("x"), b.alias("y"))
+                                F.col("ks"), lambda b: F.struct(a.alias("x"), b.alias("y"))
                             ),
                         )
                     ),
-                    lambda p: p["x"]["k"] < p["y"]["k"],
+                    lambda p: p["x"] < p["y"],
                 )
             ).alias("p")
         )
-        .select(
-            F.col("p.x.k").alias("a"),
-            F.col("p.y.k").alias("b"),
-            F.col("p.x.sig").alias("siga"),
-            F.col("p.y.sig").alias("sigb"),
-        )
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    siga = sk.select(F.col("k").alias("a"), F.col("sig").alias("siga"))
+    sigb = sk.select(F.col("k").alias("b"), F.col("sig").alias("sigb"))
+    pairs = (
+        cand.join(siga, "a")
+        .join(sigb, "b")
         .withColumn(
             "jaccard_est",
             F.size(
@@ -171,7 +206,9 @@ def connected_components_driver(pairs: DataFrame, a: str = "a", b: str = "b") ->
             x = parent[x]
         return x
 
-    for row in pairs.select(a, b).toLocalIterator():
+    # collect(), not toLocalIterator(): the edge set is small by design and
+    # toLocalIterator schedules one sequential job per partition
+    for row in pairs.select(a, b).collect():
         x, y = row[a], row[b]
         parent.setdefault(x, x)
         parent.setdefault(y, y)
@@ -248,13 +285,19 @@ def flag_near_duplicates(
             {"k": key_col, "dup_cluster_id": "dup_cluster_id"}
         )
     out = df.join(F.broadcast(cdf), key_col, "left")
-    # representative = earliest (order_col, key) inside each cluster
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("dup_cluster_id")
-    rep = F.min(F.struct(F.col(order_col), F.col(key_col))).over(w)
-    is_dup = F.col("dup_cluster_id").isNotNull() & (F.col(key_col) != rep[key_col])
-    return add_flags(out, flag_col, {"near_duplicate": is_dup})
+    # representative = earliest (order_col, key) per cluster, computed on the
+    # TINY clustered subset and broadcast back — NOT a window over the full
+    # table (a window with NULL cluster for 99% of rows funnels the whole
+    # table into one straggler partition)
+    reps = (
+        out.filter(F.col("dup_cluster_id").isNotNull())
+        .groupBy("dup_cluster_id")
+        .agg(F.min(F.struct(F.col(order_col), F.col(key_col))).alias("w"))
+        .select("dup_cluster_id", F.col("w")[key_col].alias("__rep"))
+    )
+    out = out.join(F.broadcast(reps), "dup_cluster_id", "left")
+    is_dup = F.col("dup_cluster_id").isNotNull() & (F.col(key_col) != F.col("__rep"))
+    return add_flags(out, flag_col, {"near_duplicate": is_dup}).drop("__rep")
 
 
 # --------------------------------------------------------------- SimHash

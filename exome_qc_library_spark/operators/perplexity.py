@@ -84,6 +84,39 @@ def with_perplexity(df: DataFrame, text_col: str = "text", out_col: str = "perpl
     return df.withColumn(out_col, perplexity_udf()(F.col(text_col)))
 
 
+def score_text_udf() -> Column:
+    """Combined model-scoring kernel: ONE Arrow transport of ``text`` for
+    both language-ID (NB trigram) and perplexity. At 50k docs the separate
+    UDFs cost two full text shipments (~10s); combined, one (~7s)."""
+    from .langid import _model as _lid_model, _score_batch as _lid_score
+
+    @F.pandas_udf("lang_id string, lang_conf double, perplexity double")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        _lid_model()
+        _model()
+        for texts in it:
+            lid = _lid_score(texts)
+            lid["perplexity"] = _ppl_batch(texts)
+            yield lid
+
+    return _udf
+
+
+def with_text_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    s = score_text_udf()(F.col(text_col))
+    return (
+        df.withColumn("__sc", s)
+        .withColumns(
+            {
+                "lang_id": F.col("__sc.lang_id"),
+                "lang_conf": F.col("__sc.lang_conf"),
+                "perplexity": F.col("__sc.perplexity"),
+            }
+        )
+        .drop("__sc")
+    )
+
+
 def flag_high_perplexity(
     df: DataFrame,
     max_perplexity: float,

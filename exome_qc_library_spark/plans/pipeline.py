@@ -28,8 +28,14 @@ class Stage:
     fn: Callable[[DataFrame], DataFrame]
     params: dict[str, Any] = field(default_factory=dict)
     # flag column to snapshot accounting for (the reference's per-stage
-    # count_failing reports, shared/variant_qc.py:638-723)
+    # count_failing reports, shared/variant_qc.py:638-723); only written
+    # when the stage materializes
     account_flags: str | None = None
+    # materialize=False chains this stage lazily into the next checkpoint —
+    # the reference checkpoints after EVERY step and flags the cost
+    # ("constant checkpointing is expensive", variant_qc.py:783-784); here
+    # cheap expression stages fuse into one codegen'd write
+    materialize: bool = True
 
 
 @dataclass
@@ -51,33 +57,46 @@ class Pipeline:
         instead of recomputed (cold run ≡ resumed run, FIXTURES.md §7.4)."""
         prev_name = None
         started = from_stage is None
+        pending_params: dict[str, Any] = {}
         for st in self.stages:
             if not started and st.name == from_stage:
                 started = True
             t0 = time.monotonic()
-            if self.store.exists(st.name):
+            if st.materialize and self.store.exists(st.name):
                 df = self.store.read(st.name)
+                pending_params = {}
                 self.results.append(
                     StageResult(st.name, True, time.monotonic() - t0, None)
                 )
             else:
                 out = st.fn(df)
-                metrics = None
-                df = self.store.write(
-                    out, st.name, params=st.params, parent=prev_name, metrics=metrics
-                )
-                if st.account_flags and st.account_flags in df.columns:
-                    acct = flag_count_df(df, st.account_flags)
-                    self.store.write(
-                        acct,
-                        f"{st.name}__flag_counts",
-                        params={"of": st.name},
-                        parent=st.name,
-                        count_rows=False,
+                if st.materialize:
+                    df = self.store.write(
+                        out,
+                        st.name,
+                        params={**pending_params, st.name: st.params},
+                        parent=prev_name,
                     )
-                man = self.store.manifest(st.name) or {}
+                    pending_params = {}
+                    if st.account_flags and st.account_flags in df.columns:
+                        acct = flag_count_df(df, st.account_flags)
+                        self.store.write(
+                            acct,
+                            f"{st.name}__flag_counts",
+                            params={"of": st.name},
+                            parent=st.name,
+                            count_rows=False,
+                        )
+                    man = self.store.manifest(st.name) or {}
+                    rows = man.get("rows")
+                else:
+                    # lazy stage: params fold into the next checkpoint's manifest
+                    df = out
+                    pending_params[st.name] = st.params
+                    rows = None
                 self.results.append(
-                    StageResult(st.name, False, time.monotonic() - t0, man.get("rows"))
+                    StageResult(st.name, False, time.monotonic() - t0, rows)
                 )
-            prev_name = st.name
+            if st.materialize:
+                prev_name = st.name
         return df

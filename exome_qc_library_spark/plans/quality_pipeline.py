@@ -35,7 +35,7 @@ from ..operators.hard_filters import (
 )
 from ..operators.ingest import ingest_pages
 from ..operators.langid import flag_lang_mismatch, with_langid_expr, with_langid_udf
-from ..operators.perplexity import flag_high_perplexity, with_perplexity
+from ..operators.perplexity import flag_high_perplexity, with_perplexity, with_text_scores
 from ..operators.host_qc import flag_host_outliers
 from ..operators.scrub import apply_scrub, with_pii_hits
 from ..operators.verdict import with_verdict
@@ -54,9 +54,27 @@ def build_quality_pipeline(
     max_perplexity: float = DEFAULT_MAX_PERPLEXITY,
     near_dup_threshold: float = 0.8,
     use_udf_langid: bool = True,
+    keep_html: bool = False,
+    checkpoint_all: bool = False,
 ) -> Pipeline:
+    """Stage order puts the near-dup stage right after the ingest snapshot so
+    its sketch job reads the checkpoint directly (column-pruned to url/text)
+    instead of re-running upstream flag stages; the cheap expression stages
+    are lazy (``materialize=False``) and fuse into the next checkpoint —
+    4 materializations instead of 8. ``checkpoint_all=True`` restores the
+    reference's checkpoint-after-every-step behavior (finest-grained resume).
+    """
+    mat = True if checkpoint_all else False
+
+    def _ingest(df: DataFrame) -> DataFrame:
+        out = ingest_pages(df)
+        # html is the dominant payload; downstream stages never read it and
+        # it stays recoverable from the source snapshot (lineage columns) —
+        # the reference's drop-heavy-fields pattern (P6, exome_qc.py:587)
+        return out if keep_html else out.drop("html")
+
     stages: list[Stage] = [
-        Stage("s0_ingest", lambda df: ingest_pages(df), {"extractor": "body_p_v1"}),
+        Stage("s0_ingest", _ingest, {"extractor": "body_p_v1", "keep_html": keep_html}),
     ]
     if blocklist is not None or url_substrings:
 
@@ -67,21 +85,11 @@ def build_quality_pipeline(
                 df = flag_substring_matches(df, url_substrings)
             return df
 
-        stages.append(Stage("s2_blocklist", _blk, {"substrings": list(url_substrings)}))
+        stages.append(
+            Stage("s2_blocklist", _blk, {"substrings": list(url_substrings)}, materialize=mat)
+        )
 
     stages += [
-        Stage(
-            "s3_hard_filters",
-            lambda df: apply_hard_filters(df, "low_pass_failing_qc", low_pass),
-            thresholds_metadata(low_pass),
-            account_flags="low_pass_failing_qc",
-        ),
-        Stage(
-            "s4_exact_dedup",
-            lambda df: flag_exact_duplicates(df),
-            {},
-            account_flags="low_pass_failing_qc",
-        ),
         Stage(
             "s5_near_dedup",
             lambda df: flag_near_duplicates(df, threshold=near_dup_threshold),
@@ -89,34 +97,48 @@ def build_quality_pipeline(
             account_flags="final_failing_qc",
         ),
         Stage(
-            "s7_langid",
-            lambda df: flag_lang_mismatch(
-                (with_langid_udf if use_udf_langid else with_langid_expr)(df)
-            ),
-            {"scorer": "nb_trigram_v1" if use_udf_langid else "stopword_density_v1"},
-            account_flags="final_failing_qc",
+            "s3_hard_filters",
+            lambda df: apply_hard_filters(df, "low_pass_failing_qc", low_pass),
+            thresholds_metadata(low_pass),
+            materialize=mat,
         ),
         Stage(
-            "s9_final_filters",
+            "s4_exact_dedup",
+            lambda df: flag_exact_duplicates(df),
+            {},
+            materialize=mat,
+        ),
+        Stage(
+            "s9_scoring",
             lambda df: flag_high_perplexity(
                 apply_hard_filters(
-                    with_perplexity(df), "final_failing_qc", final, compute_metrics=False
+                    flag_lang_mismatch(
+                        with_text_scores(df) if use_udf_langid else with_perplexity(with_langid_expr(df))
+                    ),
+                    "final_failing_qc",
+                    final,
+                    compute_metrics=False,
                 ),
                 max_perplexity,
             ),
-            dict(thresholds_metadata(final), max_perplexity=max_perplexity),
+            dict(
+                thresholds_metadata(final),
+                max_perplexity=max_perplexity,
+                scorer="nb_trigram_v1" if use_udf_langid else "stopword_density_v1",
+            ),
             account_flags="final_failing_qc",
         ),
         Stage(
             "s8_host_qc",
             lambda df: flag_host_outliers(df),
             {"k_sigma": 4.0},
-            account_flags="final_failing_qc",
+            materialize=mat,
         ),
         Stage(
             "s11_verdict",
             lambda df: apply_scrub(with_pii_hits(with_verdict(df))),
             {},
+            account_flags="low_pass_failing_qc",
         ),
     ]
     return Pipeline(stages, store)
