@@ -841,3 +841,82 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_sketch": (q_simhash, None),
 }
+
+
+def q_collect_carriers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 collect-to-array (carrier-list analog): sorted doc ids per
+    (source, lang) rendered as a string for stable hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))).alias(
+            "doc_ids"
+        )
+    )
+
+
+_Q_CARRIERS_SQL = """
+SELECT source, lang,
+       array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS doc_ids
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets rollup over (lang, source)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+_Q_CUBE_SQL = """
+SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def q_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 seeded Bernoulli sampling (``mt.sample_rows`` analog,
+    variant_qc.py:48). Rows-only: RNG streams differ across engines, but
+    the sample is deterministic per seed within Spark (tested)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.2, seed=42).select("doc_id")
+
+
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/K7 distributed PCA + expression projection (rows-only: SVD sign
+    conventions differ across engines; determinism asserted in tests)."""
+    from .operators.pca import pca_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_scores(emb, k=2)
+    return out.select("vec_id", F.round(F.abs("pc1"), 4).alias("abs_pc1"))
+
+
+def q_flatten_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 struct flatten: build a nested struct, flatten to columns."""
+    from .sources.sinks import flatten_structs
+
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.struct(F.col("lang").alias("lang"), F.col("source").alias("source")).alias("meta"),
+        F.struct(F.col("n_chars").alias("chars")).alias("size"),
+    )
+    return flatten_structs(nested)
+
+
+_Q_FLATTEN_SQL = """
+SELECT doc_id, lang AS meta_lang, source AS meta_source, n_chars AS size_chars
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
+        "cube_counts": (q_cube_counts, _Q_CUBE_SQL),
+        "sample_rows": (q_sample_rows, None),
+        "pca_scores": (q_pca_scores, None),
+        "flatten_export": (q_flatten_export, _Q_FLATTEN_SQL),
+    }
+)

@@ -29,7 +29,7 @@ def canonical_url_expr(url: Column) -> Column:
     """Deterministic canonical form: lowercase scheme+host, strip fragment,
     strip trailing slash, drop default ports."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
-    no_port = F.regexp_replace(no_frag, r"^(https?://[^/:?#]+):(80|443)(?=[/?]|$)", r"$1")
+    no_port = F.regexp_replace(no_frag, r"(?i)^(https?://[^/:?#]+):(80|443)(?=[/?]|$)", r"$1")
     lowered = F.concat(
         F.lower(F.regexp_extract(no_port, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
         F.regexp_extract(no_port, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),

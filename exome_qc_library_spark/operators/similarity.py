@@ -155,10 +155,11 @@ def embedding_near_dup_pairs(
 
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    # sign pattern built over the RENAMED column (post-select scope)
     sig = F.lit(0).cast("long")
     for j, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        d = dot_expr(F.col(vec_col), plane)
+        d = dot_expr(F.col("v"), plane)
         sig = sig + F.when(d > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
     bucketed = df.select(F.col(id_col).alias("k"), F.col(vec_col).alias("v")).withColumn(
         "bucket", sig

@@ -43,7 +43,10 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large text values → keep Arrow batches bounded (SURVEY.md §4.3)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap — size it to the
+        # box (128 GiB here). An 8g heap at local[32] GC-thrashes: measured
+        # SLOWER than local[8] on a 200k-doc run before this was raised.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

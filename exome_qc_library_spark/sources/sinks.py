@@ -1,0 +1,80 @@
+"""Sinks: compressed TSV export, partitioned final table, struct flattening.
+
+Parity targets (SURVEY.md §2.1):
+* S7 — ``ht.export(path)`` bgz TSV export (``/root/reference/exome_qc/
+  exome_qc.py:583,588``) → :func:`export_tsv` (gzip csv).
+* S8 — per-chromosome split VCF export (``exome_qc/minimal_exome_qc.py:
+  577-599``) → :func:`write_final_table` with ``partitionBy`` (the Spark
+  idiom for the same layout: one directory per partition key).
+* P7 — ``ht.flatten()`` before TSV export (``exome_qc/exome_qc.py:582``)
+  → :func:`flatten_structs` (recursive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten struct columns to top-level ``parent_child`` cols
+    (arrays/maps left intact — they need explode, not flattening)."""
+    while True:
+        struct_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
+        if not struct_cols:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StructType):
+                for sub in f.dataType.fields:
+                    cols.append(F.col(f"{f.name}.{sub.name}").alias(f"{f.name}{sep}{sub.name}"))
+            else:
+                cols.append(F.col(f.name))
+        df = df.select(*cols)
+
+
+def _stringify_complex(df: DataFrame) -> DataFrame:
+    """CSV cannot carry arrays/maps — render them canonically (sorted JSON),
+    mirroring how the reference flattens before export."""
+    cols = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            cols[f.name] = F.to_json(F.col(f.name))
+        elif isinstance(f.dataType, (T.MapType,)):
+            cols[f.name] = F.to_json(F.col(f.name))
+    return df.withColumns(cols) if cols else df
+
+
+def export_tsv(df: DataFrame, path: str, compress: bool = True, single_file: bool = False) -> str:
+    """S7 analog: flattened, optionally gzipped TSV.
+
+    ``single_file`` coalesces to one partition (driver-friendly small
+    exports — per-flag reports); large tables keep their parallelism.
+    """
+    out = _stringify_complex(flatten_structs(df))
+    if single_file:
+        out = out.coalesce(1)
+    writer = out.write.mode("overwrite").option("sep", "\t").option("header", True)
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.csv(path)
+    return path
+
+
+def write_final_table(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("lang_id",),
+    fmt: str = "parquet",
+) -> str:
+    """Final partitioned snapshot (per-chromosome-split analog): one
+    directory per partition value, so downstream consumers prune by
+    partition (e.g. per-language training corpora)."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*[c for c in partition_by if c in df.columns])
+        .format(fmt)
+        .save(path)
+    )
+    return path

@@ -1,0 +1,62 @@
+"""S8 host QC (batch-stratified window stats), S6 iterative outliers,
+S10 segment QC — the A13/W1/W3 rewrites."""
+
+import pyspark.sql.functions as F
+
+from exome_qc_library_spark.operators.host_qc import flag_host_outliers, host_metrics
+from exome_qc_library_spark.operators.outliers import flag_iterative_outliers
+from exome_qc_library_spark.operators.segment_qc import flag_segment_outliers
+
+
+def _docs(spark):
+    rows = []
+    for i in range(40):
+        rows.append((f"https://normal{i % 8}.com/p{i}", 100 + i % 5, 0.01, 0.3))
+    # one host with wildly different word_count
+    for i in range(6):
+        rows.append((f"https://weird.com/p{i}", 10000, 0.01, 0.3))
+    return spark.createDataFrame(
+        rows, "url string, word_count long, symbol_ratio double, stopword_density double"
+    )
+
+
+def test_host_metrics_salted_agg(spark):
+    hm = host_metrics(_docs(spark))
+    m = {r["host"]: r for r in hm.collect()}
+    assert m["weird.com"]["n_docs"] == 6
+    assert m["weird.com"]["mean_word_count"] == 10000.0
+    assert abs(m["normal0.com"]["mean_word_count"] - 102.0) < 5
+
+
+def test_flag_host_outliers(spark):
+    out = flag_host_outliers(_docs(spark), k_sigma=2.0)
+    flagged_hosts = {
+        r["host"]
+        for r in out.filter(F.array_contains("final_failing_qc", "host_outlier"))
+        .select("host")
+        .distinct()
+        .collect()
+    }
+    assert flagged_hosts == {"weird.com"}
+    assert out.count() == 46  # annotate-don't-drop
+
+
+def test_iterative_outliers_converge(spark):
+    rows = [(i, 100.0 + i % 3) for i in range(50)] + [(98, 10_000.0), (99, 9_000.0)]
+    df = spark.createDataFrame(rows, "id long, word_count double")
+    df = df.withColumns({"mean_word_len": F.lit(5.0), "stopword_density": F.lit(0.3)})
+    out = flag_iterative_outliers(df, k_sigma=3.0, max_iter=3)
+    flagged = {r["id"] for r in out.filter(F.size("final_failing_qc") > 0).collect()}
+    assert flagged == {98, 99}
+    assert out.count() == 52
+
+
+def test_segment_outliers(spark):
+    rows = [(i, "en", 0.30 + (i % 5) * 0.001) for i in range(30)] + [
+        (100, "en", 0.95),
+        (101, "fr", 0.31),  # too few fr docs → min_segment_n guard, no flag
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang_id string, stopword_density double")
+    out = flag_segment_outliers(df, k_sigma=3.0, min_segment_n=10)
+    flagged = {r["doc_id"] for r in out.filter(F.size("final_failing_qc") > 0).collect()}
+    assert flagged == {100}

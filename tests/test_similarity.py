@@ -1,0 +1,75 @@
+"""Similarity search: brute-force top-k, IVF ANN, hyperplane-LSH pairs."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from exome_qc_library_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_ivf,
+    embedding_near_dup_pairs,
+    ivf_assign,
+    train_centroids_lite,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_topk(spark):
+    df = _vecs(spark)
+    out = cosine_topk_brute(df, df.filter("vec_id = 0"), k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got[0][0] == 1  # closest to e1 is the slightly rotated e1
+    assert len(got) == 2
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in out)
+
+
+def test_ivf_matches_brute_on_separated_clusters(spark):
+    df = _vecs(spark)
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_brute(df, df.filter("vec_id = 0"), k=1).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_ivf(df, df.filter("vec_id = 0"), cents, k=1, n_probe=2).collect()
+    }
+    assert ivf == brute
+
+
+def test_ivf_assign_argmax(spark):
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    out = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(_vecs(spark), cents).collect()}
+    assert out[0] == 1 and out[1] == 1 and out[2] == 2 and out[3] == 2
+
+
+def test_hyperplane_lsh_finds_near_pair(spark):
+    pairs = embedding_near_dup_pairs(_vecs(spark), n_planes=8, min_cosine=0.95)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got or (2, 3) in got  # same-bucket near pairs surface
+
+
+def test_train_centroids_deterministic(spark):
+    df = _vecs(spark)
+    a = train_centroids_lite(df, dim=4, n_centroids=2, iters=2)
+    b = train_centroids_lite(df, dim=4, n_centroids=2, iters=2)
+    ra = sorted(tuple(round(x, 9) for x in r["centroid"]) for r in a.collect())
+    rb = sorted(tuple(round(x, 9) for x in r["centroid"]) for r in b.collect())
+    assert ra == rb

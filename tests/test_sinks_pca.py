@@ -1,0 +1,69 @@
+"""Sinks (TSV export S7, partitioned table S8, flatten P7) and PCA (K6/K7)."""
+
+import glob
+import gzip
+import os
+
+import pyspark.sql.functions as F
+
+from exome_qc_library_spark.operators.pca import fit_pca, pca_scores, project_pcs
+from exome_qc_library_spark.sources.sinks import export_tsv, flatten_structs, write_final_table
+
+
+def test_flatten_structs(spark):
+    df = spark.createDataFrame([(1, ("a", 2), (3.0,))], "id int, m struct<x:string,y:int>, s struct<z:double>")
+    out = flatten_structs(df)
+    assert set(out.columns) == {"id", "m_x", "m_y", "s_z"}
+    r = out.collect()[0]
+    assert r["m_x"] == "a" and r["m_y"] == 2 and r["s_z"] == 3.0
+
+
+def test_export_tsv_gzip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], ("x", 9))], "id int, tags array<string>, meta struct<k:string,v:int>"
+    )
+    p = export_tsv(df, str(tmp_path / "out"), single_file=True)
+    files = glob.glob(os.path.join(p, "*.csv.gz"))
+    assert len(files) == 1
+    with gzip.open(files[0], "rt") as f:
+        header = f.readline().strip().split("\t")
+        row = f.readline().strip().split("\t")
+    assert header == ["id", "tags", "meta_k", "meta_v"]
+    assert row[0] == "1"
+    # the CSV layer quote-escapes the JSON rendering of the array
+    assert "a" in row[1] and "b" in row[1] and row[1].strip('"').startswith("[")
+
+
+def test_write_final_table_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "fr"), (3, "en")], "doc_id long, lang_id string"
+    )
+    p = write_final_table(df, str(tmp_path / "final"), partition_by=("lang_id",))
+    assert os.path.isdir(os.path.join(p, "lang_id=en"))
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    # partition pruning: reading one language touches one directory
+    assert back.filter(F.col("lang_id") == "fr").count() == 1
+
+
+def test_pca_projection_deterministic(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), float(i % 2), 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    l1 = fit_pca(df, k=2)
+    l2 = fit_pca(df, k=2)
+    assert [[round(x, 9) for x in a] for a in l1] == [[round(x, 9) for x in a] for a in l2]
+    out = pca_scores(df, k=2)
+    assert {"pc1", "pc2"} <= set(out.columns)
+    # projection is linear: doubling the vector doubles the score
+    one = project_pcs(
+        spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0]), (1, [2.0, 0.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<double>"),
+        l1,
+    ).collect()
+    assert abs(one[1]["pc1"] - 2 * one[0]["pc1"]) < 1e-9
+
+
+def test_sample_rows_seeded_deterministic(spark, pages):
+    a = {r["url"] for r in pages.sample(fraction=0.2, seed=42).select("url").collect()}
+    b = {r["url"] for r in pages.sample(fraction=0.2, seed=42).select("url").collect()}
+    assert a == b and 0 < len(a) < pages.count()
