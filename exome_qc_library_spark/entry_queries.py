@@ -115,7 +115,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 'one real query' of SURVEY.md §7.2: documents → metric expressions
     → fail-flag array → explode → groupBy(source, flag).
     """
-    from .functions.flags import add_flags, keep_expr
+    from .functions.flags import add_flags
 
     df = _doc_metrics_df(spark, sf_dir)
     df = add_flags(df, "flags", _doc_rules_spark())

@@ -128,22 +128,24 @@ def minhash_candidate_pairs(
     ``jaccard_est`` = fraction of matching signature slots.
     """
     rows_per_band = num_perm // bands
-    # Materialization barriers between sketch steps: WITHOUT them Catalyst's
-    # CollapseProject inlines the shingle build into all permutations and the
-    # signature into all band keys — multiplicative recompute on long docs.
-    # localCheckpoint here == the reference's checkpoint-after-expensive-step
-    # (at cluster scale these become parquet snapshots of the sketch table).
-    hashes = (
+    # ONE materialization barrier: the sketch table is reused three times
+    # (banding + the two signature join-backs); WITHOUT the barrier
+    # Catalyst's CollapseProject would inline the signature into every
+    # consumer — multiplicative recompute on long docs. The shingle-hash
+    # array needs no barrier of its own: the signature UDF consumes it
+    # exactly once. localCheckpoint == the reference's checkpoint-after-
+    # expensive-step (a parquet snapshot of the sketch table at cluster
+    # scale).
+    sk = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
         .select(
             F.col(key_col).alias("k"),
-            shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hs"),
+            _minhash_sig_udf(num_perm)(
+                shingle_hashes(word_shingles(F.col(text_col), shingle_n))
+            ).alias("sig"),
         )
         .localCheckpoint(eager=False)
     )
-    sk = hashes.select(
-        "k", _minhash_sig_udf(num_perm)(F.col("hs")).alias("sig")
-    ).localCheckpoint(eager=False)
     # Band on the KEY only — the 8·num_perm-byte signature must not ride
     # through the bands-way exploded shuffle (at 50k docs that is ~450 MB of
     # shuffle for 26 MB of signatures; at 10^12 docs it is the bottleneck).

@@ -1,0 +1,45 @@
+"""S1 enrich — host/domain metadata join + metadata-driven flags.
+
+Analog of the reference's sample-annotation stage:
+``mt.annotate_cols(**ht[mt.s])`` joining TSV metadata keyed by sample id
+(``/root/reference/shared/samples_annotation.py:10-27``, J1), with the
+batch label used downstream for stratified QC
+(``exome_qc/parse_arguments.py:137-139``).
+
+The metadata table (host, source, spam_score, crawl_batch — FIXTURES.md
+§2) is small relative to the corpus → broadcast left join; missing
+metadata is tolerated (NULL columns), and a ``spam_score`` threshold
+flags whole hosts the way chimeras/contamination % flags samples
+(``README.md:190-193``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.flags import add_flags
+from ..functions.urltools import host_expr
+
+
+def enrich_with_host_metadata(
+    df: DataFrame,
+    host_metadata: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Broadcast left join of per-host metadata onto the pages table."""
+    out = df.withColumn(host_col, host_expr(F.col(url_col)))
+    return out.join(F.broadcast(host_metadata), host_col, "left")
+
+
+def flag_spam_hosts(
+    df: DataFrame,
+    max_spam_score: float = 0.8,
+    flag_col: str = "low_pass_failing_qc",
+) -> DataFrame:
+    """Flag docs on hosts whose metadata spam_score exceeds the threshold.
+    NULL score (host absent from metadata / 'NA' token) is NOT flagged —
+    matching the reference's defined-guard joins, not the missing-metric
+    rule (absence of optional metadata is normal)."""
+    return add_flags(df, flag_col, {"spam_host": F.col("spam_score") > max_spam_score})

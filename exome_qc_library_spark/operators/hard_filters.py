@@ -13,7 +13,7 @@ by :mod:`..functions.textmetrics` — one codegen'd projection, no Python.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

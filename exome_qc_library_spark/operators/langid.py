@@ -43,7 +43,15 @@ def lang_density_expr(text: Column, lang: str) -> Column:
 
 def langid_expr(text: Column) -> Column:
     """struct<lang_id, lang_conf>: argmax over per-language densities,
-    earlier LANGS entry wins exact ties (deterministic)."""
+    earlier LANGS entry wins exact ties (deterministic).
+
+    NOTE on alternatives tried: a single-pass word→languages map lookup is
+    SLOWER (53s vs 23s at 50k docs) because Spark's MapType ``element_at``
+    is a linear scan over ArrayBasedMapData, not a hash lookup — ``isin``
+    over literal lists compiles to an InSet hash check. The production path
+    is the NB pandas UDF anyway (3.4× faster than either, see perplexity
+    module); this expression form exists for the SQL oracle and small data.
+    """
     best = F.struct(
         lang_density_expr(text, LANGS[0]).alias("lang_conf"),
         F.lit(LANGS[0]).alias("lang_id"),

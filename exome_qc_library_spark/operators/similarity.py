@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.arrays import cosine_expr, dot_expr, norm_expr
+from ..functions.arrays import cosine_expr, dot_expr
 
 
 def cosine_topk_brute(

@@ -71,11 +71,16 @@ class Pipeline:
             else:
                 out = st.fn(df)
                 if st.materialize:
+                    # row counting is one extra job per checkpoint; only the
+                    # terminal stage needs it for the manifest (intermediate
+                    # row counts are recoverable from parquet footers)
+                    is_last = st.name == self.stages[-1].name
                     df = self.store.write(
                         out,
                         st.name,
                         params={**pending_params, st.name: st.params},
                         parent=prev_name,
+                        count_rows=is_last,
                     )
                     pending_params = {}
                     if st.account_flags and st.account_flags in df.columns:

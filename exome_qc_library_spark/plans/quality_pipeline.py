@@ -1,16 +1,20 @@
 """The flagship web-text QC pipeline — the 11-step exome_qc.py analog.
 
-Stage map (SURVEY.md §7.1):
+Stage map (SURVEY.md §7.1; execution order below — near-dup runs right
+after the ingest snapshot so its sketch job scans the checkpoint
+column-pruned, and cheap expression stages fuse lazily into the next
+materialization):
 
-  S0 ingest        html → extracted text (byte-identical), lineage cols
-  S2 blocklist     url/host anti-list + substring flags        [optional]
-  S3 hard_filters  Gopher/C4 heuristics → low_pass_failing_qc
-  S4 exact_dedup   sha2 content groups → exact_duplicate flags
-  S5 near_dedup    MinHash-LSH → clusters → near_duplicate flags
-  S7 langid        vectorized UDF language-ID + mismatch flag
-  S9 final_filters strict thresholds + perplexity → final_failing_qc
-  S8 host_qc       per-host batch-stratified outlier flags
-  S11 verdict      keep = all flag arrays empty; scrub keepers
+  S0 ingest        html → extracted text (byte-identical), lineage cols  [ckpt]
+  S1 enrich        host-metadata broadcast join + spam flags   [optional, lazy]
+  S2 blocklist     url/host anti-list + substring flags        [optional, lazy]
+  S5 near_dedup    MinHash-LSH → clusters → near_duplicate flags        [ckpt]
+  S3 hard_filters  Gopher/C4 heuristics → low_pass_failing_qc            [lazy]
+  S4 exact_dedup   sha2 content groups → exact_duplicate flags           [lazy]
+  S9 scoring       fused langid+perplexity UDF → mismatch/ppl flags
+                   + strict thresholds → final_failing_qc               [ckpt]
+  S8 host_qc       per-host batch-stratified outlier flags               [lazy]
+  S11 verdict      keep = all flag arrays empty; scrub keepers          [ckpt]
 
 Every stage preserves row count and the url key set (README.md:51-53
 invariant); every stage writes a resumable checkpoint with manifest
@@ -34,7 +38,7 @@ from ..operators.hard_filters import (
     thresholds_metadata,
 )
 from ..operators.ingest import ingest_pages
-from ..operators.langid import flag_lang_mismatch, with_langid_expr, with_langid_udf
+from ..operators.langid import flag_lang_mismatch, with_langid_expr
 from ..operators.perplexity import flag_high_perplexity, with_perplexity, with_text_scores
 from ..operators.host_qc import flag_host_outliers
 from ..operators.scrub import apply_scrub, with_pii_hits
@@ -48,6 +52,8 @@ DEFAULT_MAX_PERPLEXITY = 5000.0
 def build_quality_pipeline(
     store: CheckpointStore,
     blocklist: DataFrame | None = None,
+    host_metadata: DataFrame | None = None,
+    max_spam_score: float = 0.8,
     url_substrings: Sequence[str] = (),
     low_pass: QualityThresholds = LOW_PASS,
     final: QualityThresholds = FINAL,
@@ -76,6 +82,19 @@ def build_quality_pipeline(
     stages: list[Stage] = [
         Stage("s0_ingest", _ingest, {"extractor": "body_p_v1", "keep_html": keep_html}),
     ]
+    if host_metadata is not None:
+        from ..operators.enrich import enrich_with_host_metadata, flag_spam_hosts
+
+        stages.append(
+            Stage(
+                "s1_enrich",
+                lambda df: flag_spam_hosts(
+                    enrich_with_host_metadata(df, host_metadata), max_spam_score
+                ),
+                {"max_spam_score": max_spam_score},
+                materialize=mat,
+            )
+        )
     if blocklist is not None or url_substrings:
 
         def _blk(df: DataFrame) -> DataFrame:

@@ -47,6 +47,36 @@ def run_level(cpus: int) -> dict:
     raise RuntimeError(f"bench.py failed twice at cpus={cpus}: {last_err}")
 
 
+def calibrate_level(cpus: int) -> float:
+    """Machine ceiling probe: a purely parallel expression job (hard filters
+    over the same synthesized pages, noop sink) at this level. On a shared
+    box the achievable speedup is capped by co-tenant load — the pipeline's
+    efficiency should be read against this ceiling, not against 1.0."""
+    code = f"""
+import sys, time, tempfile
+sys.path.insert(0, {REPO!r})
+from exome_qc_library_spark.session import build_session
+from exome_qc_library_spark.synth import synthesize_pages
+from exome_qc_library_spark.operators.hard_filters import apply_hard_filters
+spark = build_session(parallelism={cpus}, app_name="cal{cpus}")
+p = tempfile.mkdtemp()
+docs = int(__import__("os").environ.get("SPARK_GRAFT_SCALING_DOCS", "200000"))
+synthesize_pages(spark, n_docs=docs, seed=42, with_edge_cases=False).write.mode("overwrite").parquet(p+"/pg")
+pg = spark.read.parquet(p+"/pg").drop("html")
+apply_hard_filters(pg.limit(2000)).write.format("noop").mode("overwrite").save()
+t0=time.time()
+apply_hard_filters(pg).write.format("noop").mode("overwrite").save()
+print("CAL", time.time()-t0)
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=dict(os.environ, PYTHONPATH=REPO),
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("CAL")][-1]
+    return float(line.split()[1])
+
+
 def main() -> None:
     # this sandbox shares the machine with other tenants (observed 5×
     # run-to-run swings); interleaved repeats + per-level MINIMUM
@@ -63,8 +93,17 @@ def main() -> None:
     t_n = results[n]["queries"]["pipeline_e2e"]
     t_m = results[m]["queries"]["pipeline_e2e"]
     eff = (t_n / t_m) / (m / n)
+    # machine ceiling: best of `repeats` interleaved pure-parallel probes
+    cal: dict[int, float] = {lv: float("inf") for lv in LEVELS}
+    for _ in range(min(repeats, 2)):
+        for lv in LEVELS:
+            cal[lv] = min(cal[lv], calibrate_level(lv))
+    cal_eff = (cal[n] / cal[m]) / (m / n)
     report = {
         "levels": LEVELS,
+        "machine_ceiling_secs": cal,
+        "machine_ceiling_efficiency": round(cal_eff, 3),
+        "normalized_efficiency": round(eff / cal_eff, 3) if cal_eff else None,
         f"pipeline_sec_local{n}": t_n,
         f"pipeline_sec_local{m}": t_m,
         f"docs_per_sec_local{n}": results[n]["pipeline_docs_per_sec"],
@@ -88,7 +127,12 @@ def main() -> None:
                     f"| local[{lv}] | {results[lv]['queries']['pipeline_e2e']} | "
                     f"{results[lv]['pipeline_docs_per_sec']} |"
                 )
-            lines.append(f"\nScaling efficiency (N={n} → 4N={m}): **{eff:.3f}**\n")
+            lines.append(f"\nScaling efficiency (N={n} → 4N={m}): **{eff:.3f}**")
+            lines.append(
+                f"\nMachine ceiling (pure-parallel expression job, same input): "
+                f"{cal_eff:.3f} → pipeline efficiency normalized to what this "
+                f"shared box can deliver: **{eff / cal_eff:.3f}**\n"
+            )
             lines.append(
                 "Protocol: interleaved repeats per level on identical input "
                 "(seed 42, 200k synthesized pages incl. full pipeline + checkpoints); "
