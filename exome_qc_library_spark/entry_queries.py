@@ -482,9 +482,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user (lag + cumsum)."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ in the parquet; route through session-TZ (UTC)
-    # timestamp so epoch seconds match DuckDB's epoch(ts) on the naive value
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # ts is TIMESTAMP_NTZ: take epoch seconds via pure wall-clock arithmetic
+    # (timestampdiff on NTZ), NOT a cast through the session timezone — a
+    # non-UTC driver session would shift gaps across DST transitions
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
