@@ -456,7 +456,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_JSON_SQL = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -504,7 +504,7 @@ WITH g AS (
               THEN 1 ELSE 0 END AS ns
   FROM events
 )
-SELECT user_id, sum(ns) AS n_sessions FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 """
 
 
@@ -593,7 +593,8 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_STATS_SQL = """
 SELECT lang, round(avg(n_chars), 4) AS mean, round(stddev_samp(n_chars), 4) AS stdev,
-       min(n_chars) AS min, max(n_chars) AS max, count(n_chars) AS n, sum(n_chars) AS sum
+       min(n_chars) AS min, max(n_chars) AS max, count(n_chars) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum
 FROM documents GROUP BY lang
 """
 
@@ -871,7 +872,7 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_CUBE_SQL = """
-SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY CUBE (lang, source)
 """
 

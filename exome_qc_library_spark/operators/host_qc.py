@@ -5,18 +5,26 @@ Analog of the reference's sample QC: per-sample composite metrics
 **batch-stratified mean±k·σ outlier flagging** — the reference loops
 Python over measures × batches, each iteration a separate filtered
 aggregation job (``shared/samples_qc.py:432-486``, A13 in SURVEY.md);
-here the same statistics come from analytic windows partitioned by the
-batch key, so the whole stage is O(1) Spark jobs regardless of the
+here the same statistics come from ONE grouped aggregation keyed by the
+batch column, so the whole stage is O(1) Spark jobs regardless of the
 number of batches and measures (SURVEY.md §2.4 A13 rewrite).
 
-Skew: per-host aggregation uses a two-level (salted partial → final)
-aggregate so one domain-heavy host cannot straggle a reducer
-(BASELINE.json; ``functions/urltools.salted_repartition``).
+Scale notes (round-2 rewrite, VERDICT.md finding #3):
+* per-host aggregation uses a two-level (salted partial → final)
+  aggregate so one domain-heavy host cannot straggle a reducer;
+* the per-batch μ/σ over host means was previously an analytic window —
+  with ``batch_col=None`` that collapsed the whole host table into ONE
+  partition (``W.partitionBy(F.lit(1))`` is constant-folded to an
+  unpartitioned WindowExec). At 100 TB the host table is 10⁷–10⁸ rows,
+  so it is now a plain ``groupBy(batch).agg()`` producing a tiny
+  (#batches × measures) stats table that is **broadcast** back onto the
+  host metrics — no window, no single-partition sort, two shuffles of
+  the small host table only, never the doc table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.flags import add_flags
@@ -28,23 +36,29 @@ HOST_MEASURES: tuple[str, ...] = ("word_count", "symbol_ratio", "stopword_densit
 def host_metrics(
     df: DataFrame,
     url_col: str = "url",
+    batch_col: str | None = None,
     measures: tuple[str, ...] = HOST_MEASURES,
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Per-host metric table via salted two-level aggregation.
 
     Partial agg on (host, salt) — map-side combine bounds the skewed key —
-    then a tiny final agg on host recombines counts/sums exactly.
+    then a tiny final agg on host recombines counts/sums exactly. When
+    ``batch_col`` is given it is carried as a grouping key (hosts are
+    batch-homogeneous in the crawl metadata model; a host appearing in two
+    batches yields one metrics row per (host, batch), matching the
+    reference's per-batch sample strata, ``shared/samples_qc.py:408-430``).
     """
+    keys = ["host"] + ([batch_col] if batch_col else [])
     base = df.withColumns(
         {"host": host_expr(F.col(url_col)), "__salt": salt_expr(F.col(url_col), salt_buckets)}
     )
-    partial = base.groupBy("host", "__salt").agg(
+    partial = base.groupBy(*keys, "__salt").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(m).alias(f"sum_{m}") for m in measures],
         *[F.count(m).alias(f"cnt_{m}") for m in measures],
     )
-    final = partial.groupBy("host").agg(
+    final = partial.groupBy(*keys).agg(
         F.sum("n").alias("n_docs"),
         *[
             (F.sum(f"sum_{m}") / F.sum(f"cnt_{m}")).alias(f"mean_{m}")
@@ -52,6 +66,21 @@ def host_metrics(
         ],
     )
     return final
+
+
+def host_outlier_stats(
+    hm: DataFrame,
+    batch_col: str | None = None,
+    measures: tuple[str, ...] = HOST_MEASURES,
+) -> DataFrame:
+    """μ/σ of each host-mean measure, per batch (or globally): one grouped
+    aggregation producing a #batches-row table — the broadcast side."""
+    aggs = [F.avg(f"mean_{m}").alias(f"mu_{m}") for m in measures] + [
+        F.stddev_samp(f"mean_{m}").alias(f"sd_{m}") for m in measures
+    ]
+    if batch_col:
+        return hm.groupBy(batch_col).agg(*aggs)
+    return hm.agg(*aggs)
 
 
 def flag_host_outliers(
@@ -64,21 +93,35 @@ def flag_host_outliers(
 ) -> DataFrame:
     """Flag docs on hosts whose mean measure is > k·σ from the batch mean.
 
-    One window pass over the (small) host-metrics table, then one
-    broadcast join of outlier hosts back onto the docs — never a shuffle
-    of the full doc table.
+    Plan shape: groupBy host (salted) → groupBy batch (tiny) → broadcast
+    stats join onto host metrics → broadcast outlier-host set join onto
+    the docs. The doc table is never shuffled and no WindowExec appears.
     """
-    hm = host_metrics(df, url_col=url_col, measures=measures)
-    w = W.partitionBy(F.lit(1) if batch_col is None else F.col(batch_col))
+    hm = host_metrics(df, url_col=url_col, batch_col=batch_col, measures=measures)
+    stats = host_outlier_stats(hm, batch_col=batch_col, measures=measures)
+    if batch_col:
+        scored = hm.join(F.broadcast(stats), batch_col, "left")
+    else:
+        scored = hm.crossJoin(F.broadcast(stats))
     outlier_cond = None
     for m in measures:
-        mu = F.avg(f"mean_{m}").over(w)
-        sd = F.stddev_samp(f"mean_{m}").over(w)
+        mu, sd = F.col(f"mu_{m}"), F.col(f"sd_{m}")
+        # degenerate-σ guard: a measure that is (near-)constant across hosts
+        # has σ at float-noise scale, and ANY ulp-level difference between
+        # host means would flag — require σ meaningfully above the noise
+        # floor of the mean before the k·σ test applies
+        eps = F.lit(1e-9) * F.greatest(F.abs(mu), F.lit(1.0))
         cond = F.coalesce(
-            (F.abs(F.col(f"mean_{m}") - mu) > k_sigma * sd), F.lit(False)
+            (sd > eps) & (F.abs(F.col(f"mean_{m}") - mu) > k_sigma * sd),
+            F.lit(False),
         )
         outlier_cond = cond if outlier_cond is None else (outlier_cond | cond)
-    bad_hosts = hm.withColumn("__bad", outlier_cond).filter(F.col("__bad")).select("host")
+    bad_hosts = (
+        scored.withColumn("__bad", outlier_cond)
+        .filter(F.col("__bad"))
+        .select("host")
+        .distinct()
+    )
     out = df.withColumn("host", host_expr(F.col(url_col))).join(
         F.broadcast(bad_hosts.withColumn("__host_outlier", F.lit(True))), "host", "left"
     )

@@ -57,15 +57,43 @@ def ivf_assign(
     cent_id: str = "centroid_id",
     cent_vec: str = "centroid",
 ) -> DataFrame:
-    """Assign each row to its max-cosine centroid (broadcast argmax join)."""
-    c = F.broadcast(centroids.select(cent_id, cent_vec))
-    scored = df.join(c).withColumn("__sim", cosine_expr(F.col(vec_col), F.col(cent_vec)))
-    w = W.partitionBy(*df.columns).orderBy(F.col("__sim").desc(), F.col(cent_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", cent_vec)
+    """Assign each row to its max-cosine centroid, ROW-LOCALLY.
+
+    Round-2 rewrite (VERDICT.md finding #4): the previous version did a
+    centroid cross-join + ``W.partitionBy(*df.columns)`` argmax window —
+    that (a) shuffled the full corpus keyed by every column including the
+    embedding array and (b) silently DROPPED duplicate rows (two identical
+    rows share one window partition; rn=2 was filtered out).
+
+    The centroid table is bounded-small by construction (``n_centroids``
+    parameter — the k-means model, like an MLlib model object), so it is
+    collected once and inlined as a literal array of (id, vector) structs;
+    the argmax is then a single codegen'd projection per row: zero
+    shuffle, zero window, every input row preserved. Ties break to the
+    smallest centroid id (matching the old ``orderBy(sim desc, id asc)``).
+    """
+    rows = centroids.select(cent_id, cent_vec).collect()  # tiny: the model
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[cent_id])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[cent_vec]]).alias("cv"),
+            )
+            for r in rows
+        ]
     )
+    # argmax via array_max over (sim, -cid): max sim wins; on a sim tie the
+    # larger -cid (= smaller cid) wins.
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                cosine_expr(F.col(vec_col), c["cv"]).alias("sim"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+    return df.withColumn(cent_id, (-best["ncid"]).cast("long"))
 
 
 def train_centroids_lite(
@@ -146,11 +174,18 @@ def embedding_near_dup_pairs(
     n_planes: int = 16,
     min_cosine: float = 0.95,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-pattern bucket key (one int), exact
-    cosine verification within buckets. Shuffle key = bucket, not pairs."""
-    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_probe[0]["d"] if dim_probe else 0
+    cosine verification within buckets. Shuffle key = bucket, not pairs.
+
+    Pass ``dim`` explicitly in pipelines (it is a dataset constant); the
+    ``limit(1)`` probe fallback exists for ad-hoc use only — it is one
+    tiny Spark job fired at plan-build time (VERDICT.md round-1 nit #5).
+    """
+    if dim is None:
+        dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = dim_probe[0]["d"] if dim_probe else 0
     import random
 
     rng = random.Random(seed)

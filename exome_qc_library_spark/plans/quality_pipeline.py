@@ -149,8 +149,16 @@ def build_quality_pipeline(
         ),
         Stage(
             "s8_host_qc",
-            lambda df: flag_host_outliers(df),
-            {"k_sigma": 4.0},
+            # batch-stratified when host metadata supplied the crawl_batch
+            # column at s1 — the reference's per-batch sample-QC strata
+            # (shared/samples_qc.py:432-486); global stats otherwise
+            lambda df: flag_host_outliers(
+                df, batch_col="crawl_batch" if host_metadata is not None else None
+            ),
+            {
+                "k_sigma": 4.0,
+                "batch_col": "crawl_batch" if host_metadata is not None else None,
+            },
             materialize=mat,
         ),
         Stage(

@@ -60,6 +60,30 @@ def test_ivf_assign_argmax(spark):
     assert out[0] == 1 and out[1] == 1 and out[2] == 2 and out[3] == 2
 
 
+def test_ivf_assign_preserves_duplicate_rows(spark):
+    # round-1 VERDICT #4 regression: the old window argmax partitioned by
+    # every column and silently dropped one of two fully identical rows
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    out = ivf_assign(df, cents)
+    assert out.count() == 3  # every input row survives
+    assert out.filter("vec_id = 0 AND centroid_id = 1").count() == 2
+
+
+def test_ivf_assign_no_shuffle_no_window(spark):
+    # the assignment must be a row-local projection: no Exchange, no Window
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    plan = ivf_assign(_vecs(spark), cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+
 def test_hyperplane_lsh_finds_near_pair(spark):
     pairs = embedding_near_dup_pairs(_vecs(spark), n_planes=8, min_cosine=0.95)
     got = {(r["a"], r["b"]) for r in pairs.collect()}

@@ -22,19 +22,40 @@ TABLES = (
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-STRICT canonicalization mirroring the driver's hash discipline:
+    ints stay ints, floats stay floats (rounded to 6 dp) — a DuckDB HUGEINT
+    sum landing as float64 (`99111.0`) must NOT compare equal to Spark's
+    int64 `99111` (that masking was round-1 finding #2 in VERDICT.md)."""
+
+    def cell(v, kind: str) -> str:
+        if v is None or (not isinstance(v, (list, set, tuple)) and pd.isna(v)):
+            return "__NULL__"
+        if kind == "i":
+            return str(int(v))
+        if kind == "f":
+            return repr(round(float(v), 6))
+        if kind == "b":
+            return str(bool(v))
+        if isinstance(v, (list, set, tuple)) or type(v).__name__ == "ndarray":
+            return str([str(e) for e in v])
+        return str(v)
+
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda x: str(sorted(x)) if isinstance(x, (list, set)) else str(x))
-        elif "datetime" in str(df[c].dtype):
-            df[c] = df[c].astype(str)
-        elif df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-        elif str(df[c].dtype).startswith(("Int", "int", "uint")):
-            df[c] = df[c].astype("float64")  # unify int width/nullable repr
-        elif df[c].dtype.kind == "b" or str(df[c].dtype) == "boolean":
-            df[c] = df[c].astype("object").map(lambda v: None if pd.isna(v) else bool(v))
-    df = df.fillna("__NULL__")
+        dt = str(df[c].dtype)
+        if "datetime" in dt:
+            df[c] = df[c].astype(str).where(df[c].notna(), "__NULL__")
+            continue
+        kind = (
+            "i"
+            if df[c].dtype.kind in "iu" or dt.startswith(("Int", "UInt"))
+            else "f"
+            if df[c].dtype.kind == "f" or dt.startswith("Float")
+            else "b"
+            if df[c].dtype.kind == "b" or dt == "boolean"
+            else "o"
+        )
+        df[c] = df[c].map(lambda v, k=kind: cell(v, k))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
