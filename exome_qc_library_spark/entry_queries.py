@@ -765,22 +765,134 @@ FROM fl
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 MinHash-LSH candidate pairs (rows-only: DuckDB lacks xxhash64;
-    verified against exact Jaccard in tests)."""
+    """K4/J6 MinHash-LSH candidate pairs, ORACLE-CHECKED: same banding /
+    bucket-cap / pairing code path as production ``flag_near_duplicates``,
+    with the SQL-reproducible polynomial base hash (``arithmetic=True``)
+    so DuckDB mirrors every signature slot verbatim. The xxhash64+numpy
+    production kernel is pinned against exact Jaccard in tests/test_dedup.
+    """
     from .operators.dedup import minhash_candidate_pairs
 
-    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "url")
-    return minhash_candidate_pairs(docs, key_col="url").select(
-        "a", "b", F.round("jaccard_est", 6).alias("jaccard_est")
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, key_col="doc_id", num_perm=_MH_ORACLE_PERM, bands=_MH_ORACLE_BANDS,
+        arithmetic=True,
+    ).select("a", "b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+_MH_ORACLE_PERM, _MH_ORACLE_BANDS = 32, 8
+
+
+def _minhash_sql(
+    num_perm: int = _MH_ORACLE_PERM,
+    bands: int = _MH_ORACLE_BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of the arithmetic MinHash-LSH pipeline, generated from
+    the SAME permutation constants (``_mh_params``) the Spark side uses."""
+    from .functions.hashing import _MH_PRIME, _mh_params, POLY_BASE, POLY_MOD
+
+    params = _mh_params(num_perm, seed)
+    rpb = num_perm // bands
+    mins = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {_MH_PRIME}))" for a, b in params
     )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT k, {b} AS band, array_to_string(list_slice(sig, {b * rpb + 1}, {b * rpb + rpb}), ',') AS bucket FROM sig_t"
+        for b in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id AS k,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+sh AS (
+  SELECT k,
+         list_distinct(CASE WHEN len(ws) >= {shingle_n}
+              THEN list_transform(range(1, len(ws) - {shingle_n - 2}), i -> array_to_string(list_slice(ws, i, i + {shingle_n - 1}), ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END) AS sh
+  FROM w
+),
+hs_t AS (
+  SELECT k, list_transform(sh, s ->
+      list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(s) + 1), i -> ascii(substr(s, i, 1))::BIGINT)),
+        (acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})) AS hs
+  FROM sh
+),
+sig_t AS (
+  SELECT k, [{mins}] AS sig FROM hs_t WHERE len(hs) > 0
+),
+banded AS (
+  {band_rows}
+),
+grouped AS (
+  SELECT band, bucket, list_slice(list_sort(list(k)), 1, {max_bucket}) AS ks
+  FROM banded GROUP BY band, bucket
+),
+capped AS (SELECT band, bucket, unnest(ks) AS k FROM grouped WHERE len(ks) > 1),
+pairs AS (
+  SELECT DISTINCT x.k AS a, y.k AS b
+  FROM capped x JOIN capped y ON x.band = y.band AND x.bucket = y.bucket AND x.k < y.k
+)
+SELECT p.a, p.b,
+       round(list_sum(list_transform(range(1, {num_perm + 1}),
+             i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_perm}.0, 6) AS jaccard_est
+FROM pairs p JOIN sig_t sa ON sa.k = p.a JOIN sig_t sb ON sb.k = p.b
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 SimHash sketch column (rows-only; hamming verified in tests)."""
-    from .functions.hashing import simhash64
+    """K5 SimHash sketch column, ORACLE-CHECKED via the 30-bit polynomial
+    variant (same shingle/vote/sign algorithm as the production
+    ``simhash64``, whose xxhash64 kernel + hamming blocking are pinned in
+    tests/test_dedup)."""
+    from .functions.hashing import simhash_poly
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", simhash_poly(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql(bits: int = 30) -> str:
+    from .functions.hashing import POLY_BASE, POLY_MOD
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)), i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END) AS sh
+  FROM w
+),
+hs_t AS (
+  SELECT doc_id, list_transform(sh, s ->
+      list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(s) + 1), i -> ascii(substr(s, i, 1))::BIGINT)),
+        (acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD})) AS hs
+  FROM sh
+),
+v AS (
+  SELECT doc_id,
+         list_transform(range(0, {bits}), j ->
+             list_sum(list_transform(hs, h ->
+                 CASE WHEN (h >> j::INTEGER) & 1 = 1 THEN 1::BIGINT ELSE -1::BIGINT END))) AS votes
+  FROM hs_t
+)
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(range(0, {bits}), j ->
+            CASE WHEN votes[j + 1] > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0::BIGINT END)), 0) AS BIGINT) AS simhash
+FROM v
+"""
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,8 +952,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_neardup": (q_embedding_neardup, _Q_EMB_NEARDUP_SQL),
     "doc_verdicts": (q_doc_verdicts, _doc_verdicts_sql()),
     "quality_score": (q_quality_score, _Q_QUALITY_SQL()),
-    "minhash_pairs": (q_minhash_pairs, None),
-    "simhash_sketch": (q_simhash, None),
+    "minhash_pairs": (q_minhash_pairs, _minhash_sql()),
+    "simhash_sketch": (q_simhash, _simhash_sql()),
 }
 
 
@@ -878,11 +990,21 @@ FROM documents GROUP BY CUBE (lang, source)
 
 
 def q_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 seeded Bernoulli sampling (``mt.sample_rows`` analog,
-    variant_qc.py:48). Rows-only: RNG streams differ across engines, but
-    the sample is deterministic per seed within Spark (tested)."""
+    """O1 deterministic 20% sampling (``mt.sample_rows`` analog,
+    variant_qc.py:48) via a Knuth multiplicative-hash gate on the key —
+    exactly reproducible in ANSI SQL, unlike engine RNG streams, and
+    partition-layout-independent at any scale (``df.sample(seed=...)``
+    remains available as the RNG path; its per-seed determinism is pinned
+    in tests/test_properties.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.sample(fraction=0.2, seed=42).select("doc_id")
+    return docs.filter(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) < 20
+    ).select("doc_id")
+
+
+_Q_SAMPLE_SQL = """
+SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 20
+"""
 
 
 def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,12 +1035,256 @@ SELECT doc_id, lang AS meta_lang, source AS meta_source, n_chars AS size_chars
 FROM documents
 """
 
+# ------------------------------------------- round-2 oracle additions
+# (VERDICT.md next-steps #3/#4/#8: oracle rows for the operators that had
+# only pytest evidence, plus the media-metadata operator)
+
+
+def q_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 composite per-host QC metrics (``hl.sample_qc`` analog) through
+    the REAL salted two-level aggregation operator; hosts synthesized
+    deterministically from ``source`` so the oracle can re-derive them."""
+    from .operators.host_qc import host_metrics
+
+    docs = _doc_metrics_df(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    hm = host_metrics(docs, url_col="url", measures=("word_count",))
+    return hm.select("host", "n_docs", F.col("mean_word_count"))
+
+
+def _host_metrics_sql() -> str:
+    return f"""
+WITH {_metrics_cte()},
+d AS (SELECT lower(source || '.example.com') AS host, word_count FROM m)
+SELECT host, count(*) AS n_docs,
+       CAST(sum(word_count) AS DOUBLE) / count(word_count) AS mean_word_count
+FROM d GROUP BY host
+"""
+
+
+def q_host_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 batch-stratified host outlier flags — the full
+    ``flag_host_outliers`` path (salted host agg → per-batch μ/σ →
+    broadcast join-back), stratified by ``lang`` as the batch key."""
+    from .operators.host_qc import flag_host_outliers
+
+    docs = _doc_metrics_df(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    out = flag_host_outliers(
+        docs, url_col="url", batch_col="lang", measures=("word_count",),
+        k_sigma=1.0, flag_col="host_flags",
+    )
+    return out.select(
+        "doc_id", F.array_contains("host_flags", "host_outlier").alias("host_outlier")
+    )
+
+
+def _host_outliers_sql() -> str:
+    return f"""
+WITH {_metrics_cte()},
+d AS (SELECT doc_id, lower(source || '.example.com') AS host, lang, word_count FROM m),
+hm AS (
+  SELECT host, lang,
+         CAST(sum(word_count) AS DOUBLE) / count(word_count) AS mwc
+  FROM d GROUP BY host, lang
+),
+st AS (SELECT lang, avg(mwc) AS mu, stddev_samp(mwc) AS sd FROM hm GROUP BY lang),
+bad AS (
+  SELECT DISTINCT host FROM hm JOIN st USING (lang)
+  WHERE coalesce(sd > 1e-9 * greatest(abs(mu), 1.0)
+                 AND abs(mwc - mu) > 1.0 * sd, false)
+)
+SELECT doc_id, (host IN (SELECT host FROM bad)) AS host_outlier FROM d
+"""
+
+
+def q_iterative_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 iterative global-stat outlier loop (the reference's PCA-outlier
+    iteration, samples_qc.py:131-257) with max_iter=2 so the oracle can
+    unroll both rounds explicitly."""
+    from .operators.outliers import flag_iterative_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    out = flag_iterative_outliers(
+        docs, measures=("n_chars",), k_sigma=2.0, max_iter=2,
+        flag_col="out_flags", tag="metric_outlier",
+    )
+    return out.select(
+        "doc_id", F.array_contains("out_flags", "metric_outlier").alias("is_outlier")
+    )
+
+
+_Q_ITER_OUTLIERS_SQL = """
+WITH s1 AS (SELECT avg(n_chars) AS mu1, stddev_samp(n_chars) AS sd1 FROM documents),
+r1 AS (
+  SELECT doc_id, n_chars,
+         coalesce(sd1 IS NOT NULL AND sd1 <> 0 AND abs(n_chars - mu1) > 2.0 * sd1, false) AS out1
+  FROM documents, s1
+),
+s2 AS (SELECT avg(n_chars) AS mu2, stddev_samp(n_chars) AS sd2 FROM r1 WHERE NOT out1)
+SELECT doc_id,
+       (out1 OR coalesce(sd2 IS NOT NULL AND sd2 <> 0 AND abs(n_chars - mu2) > 2.0 * sd2, false))
+         AS is_outlier
+FROM r1, s2
+"""
+
+
+def q_perplexity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/K3 threshold-into-flag semantics of ``flag_high_perplexity``
+    (two-threshold sex-imputation analog incl. ``missing_*`` tagging),
+    fed an IEEE-exact rational perplexity proxy so both engines compute
+    bit-identical inputs (the NB-model perplexity itself is pinned in
+    tests/test_perplexity.py)."""
+    from .operators.perplexity import flag_high_perplexity
+
+    df = _doc_metrics_df(spark, sf_dir).withColumn(
+        "perplexity", F.col("mean_word_len") / (F.col("stopword_density") + F.lit(0.05))
+    )
+    out = flag_high_perplexity(df, max_perplexity=40.0, flag_col="ppl_flags")
+    return out.select(
+        "doc_id", F.concat_ws(",", F.array_sort("ppl_flags")).alias("flags")
+    )
+
+
+def _perplexity_flags_sql() -> str:
+    return f"""
+WITH {_metrics_cte()},
+p AS (SELECT doc_id, mean_word_len / (stopword_density + 0.05) AS ppl FROM m)
+SELECT doc_id,
+       CASE WHEN ppl IS NULL THEN 'missing_perplexity'
+            WHEN ppl > 40.0 THEN 'perplexity'
+            ELSE '' END AS flags
+FROM p
+"""
+
+
+def q_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 ingest extraction (split-multi analog): synthesize page bytes
+    from ``text``, run the REAL expression extractor, assert round-trip —
+    byte-level NFC/NFD/emoji identity is additionally pinned in
+    tests/test_ingest.py."""
+    from .operators.ingest import ingest_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out = ingest_pages(pages)
+    return out.select("doc_id", "extracted_text", "was_extracted")
+
+
+_Q_INGEST_SQL = """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL
+            THEN regexp_extract('<html><body><p>' || text || '</p></body></html>',
+                                '(?s)<p>(.*)</p>', 1) END AS extracted_text,
+       (text IS NOT NULL) AS was_extracted
+FROM documents
+"""
+
+
+_PC_AXIS_1 = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+_PC_AXIS_2 = [i / 64.0 for i in range(64)]  # exact binary fractions
+
+
+def q_pc_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 pc_project: expression projection onto fixed loadings
+    (deterministic left-fold dot product; PCA *fit* determinism is pinned
+    in tests/test_sinks_pca.py — SVD sign conventions keep the fit itself
+    rows-only, see ``pca_scores``)."""
+    from .operators.pca import project_pcs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = project_pcs(emb, [_PC_AXIS_1, _PC_AXIS_2])
+    return out.select(
+        "vec_id", F.round("pc1", 4).alias("pc1"), F.round("pc2", 4).alias("pc2")
+    )
+
+
+def _pc_project_sql() -> str:
+    def chain(axis: list[float]) -> str:
+        e = "0.0"
+        for i, v in enumerate(axis):
+            e = f"({e} + embedding[{i + 1}]::DOUBLE * {v!r})"
+        return e
+
+    return f"""
+SELECT vec_id, round({chain(_PC_AXIS_1)}, 4) AS pc1, round({chain(_PC_AXIS_2)}, 4) AS pc2
+FROM embeddings
+"""
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata operator: opaque binary payload → sniffed media
+    type (magic numbers), byte length, content sha256 — pure expressions
+    (the byte-feature kernel is pinned in tests/test_tokenize_multimodal)."""
+    from .operators.multimodal import with_media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = with_media_metadata(pages, bin_col="payload")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+def _media_meta_sql() -> str:
+    from .operators.multimodal import _MAGIC
+
+    whens = "\n       ".join(
+        f"WHEN substr(hx, {off}, {len(p)}) = '{p}' THEN '{mt}'" for p, off, mt in _MAGIC
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NOT NULL THEN substr(hex(encode(text)), 1, 24) END AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+       {whens}
+       ELSE 'application/octet-stream' END AS media_type,
+       CASE WHEN text IS NOT NULL THEN CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+       CASE WHEN text IS NOT NULL THEN sha256(text) END AS sha256
+FROM h
+"""
+
+
 QUERIES.update(
     {
         "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
         "cube_counts": (q_cube_counts, _Q_CUBE_SQL),
-        "sample_rows": (q_sample_rows, None),
+        "sample_rows": (q_sample_rows, _Q_SAMPLE_SQL),
+        # pca_scores stays rows-only BY DESIGN (the one remaining no_oracle
+        # entry): the PCA *fit* depends on SVD sign/rotation conventions
+        # that differ legitimately across engines, so no SQL oracle can be
+        # exact; determinism is pinned in tests and the projection half of
+        # K6/K7 is oracle-checked via pc_project below.
         "pca_scores": (q_pca_scores, None),
         "flatten_export": (q_flatten_export, _Q_FLATTEN_SQL),
+        "host_metrics": (q_host_metrics, _host_metrics_sql()),
+        "host_outliers": (q_host_outliers, _host_outliers_sql()),
+        "iterative_outliers": (q_iterative_outliers, _Q_ITER_OUTLIERS_SQL),
+        "perplexity_flags": (q_perplexity_flags, _perplexity_flags_sql()),
+        "ingest_extract": (q_ingest_extract, _Q_INGEST_SQL),
+        "pc_project": (q_pc_project, _pc_project_sql()),
+        "media_meta": (q_media_meta, _media_meta_sql()),
     }
 )

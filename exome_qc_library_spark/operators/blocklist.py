@@ -28,16 +28,24 @@ def flag_blocklisted(
     list_col: str = "url_or_host",
     flag_col: str = "low_pass_failing_qc",
 ) -> DataFrame:
-    """Flag rows whose url OR host appears in the (broadcast) blocklist."""
-    bl = F.broadcast(blocklist.select(F.col(list_col).alias("__blocked")).distinct())
-    host = host_expr(F.col(url_col))
+    """Flag rows whose url OR host appears in the (broadcast) blocklist.
+
+    Two broadcast EQUI left joins against the DISTINCT list (≤1 match per
+    row per join, so no row multiplication) instead of an OR-condition
+    join + dropDuplicates — the old shape silently collapsed legitimate
+    duplicate url keys (crawl re-fetches), breaking the rows-preserved
+    invariant (round-1 ADVICE); an OR predicate also forces a nested-loop
+    join, while equi-joins stay hash joins.
+    """
+    keys = blocklist.select(F.col(list_col).alias("__blocked")).distinct()
+    by_url = F.broadcast(keys.withColumnRenamed("__blocked", "__bu"))
+    by_host = F.broadcast(keys.withColumnRenamed("__blocked", "__bh"))
     hit = (
-        df.withColumn("__host", host)
-        .join(bl, (F.col(url_col) == F.col("__blocked")) | (F.col("__host") == F.col("__blocked")), "left")
-        .withColumn("__is_blocked", F.col("__blocked").isNotNull())
-        .drop("__blocked", "__host")
-        # the OR-join can duplicate a row matched by both url and host
-        .dropDuplicates([url_col])
+        df.withColumn("__host", host_expr(F.col(url_col)))
+        .join(by_url, F.col(url_col) == F.col("__bu"), "left")
+        .join(by_host, F.col("__host") == F.col("__bh"), "left")
+        .withColumn("__is_blocked", F.col("__bu").isNotNull() | F.col("__bh").isNotNull())
+        .drop("__bu", "__bh", "__host")
     )
     return add_flags(hit, flag_col, {"blocklisted": F.col("__is_blocked")}).drop("__is_blocked")
 

@@ -121,11 +121,21 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 200,
+    arithmetic: bool = False,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash.
 
     Returns (a, b, jaccard_est) with a < b, deduplicated across bands.
     ``jaccard_est`` = fraction of matching signature slots.
+
+    ``arithmetic=True`` switches the base hash from xxhash64 (+ vectorized
+    numpy signature UDF) to the SQL-reproducible polynomial primitive with
+    an expression-only signature and raw-csv band keys — same banding,
+    capping and pairing code path, but every number is mirrorable verbatim
+    in the DuckDB oracle (VERDICT.md round-1 next-step #3). Production
+    keeps the default: xxhash64 mixes better and the numpy kernel is ~100×
+    the interpreted HOF path on long docs.
     """
     rows_per_band = num_perm // bands
     # ONE materialization barrier: the sketch table is reused three times
@@ -136,14 +146,31 @@ def minhash_candidate_pairs(
     # exactly once. localCheckpoint == the reference's checkpoint-after-
     # expensive-step (a parquet snapshot of the sketch table at cluster
     # scale).
-    sk = (
-        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .select(
+    base = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+    if arithmetic:
+        from ..functions.hashing import minhash_signature, poly_shingle_hashes
+
+        # materialize the base-hash array BEFORE the num_perm-way signature
+        # fan-out: each of the num_perm array_min branches references the
+        # same subtree, and interpreted HOFs get no common-subexpression
+        # elimination — without the barrier the shingle fold re-runs
+        # num_perm times per row (measured 62s → ~3s at 500 docs)
+        hs = base.select(
             F.col(key_col).alias("k"),
-            _minhash_sig_udf(num_perm)(
+            poly_shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hs"),
+        ).localCheckpoint(eager=False)
+        sk = hs.select("k", minhash_signature(F.col("hs"), num_perm, seed).alias("sig"))
+    else:
+        sk = base.select(
+            F.col(key_col).alias("k"),
+            _minhash_sig_udf(num_perm, seed)(
                 shingle_hashes(word_shingles(F.col(text_col), shingle_n))
             ).alias("sig"),
         )
+    sk = (
+        # drop shingle-less docs: UDF path yields sig NULL, expression path
+        # yields an array of NULL slots — sig[0] IS NULL catches both
+        sk.filter(F.col("sig")[0].isNotNull())
         .localCheckpoint(eager=False)
     )
     # Band on the KEY only — the 8·num_perm-byte signature must not ride
@@ -151,7 +178,10 @@ def minhash_candidate_pairs(
     # shuffle for 26 MB of signatures; at 10^12 docs it is the bottleneck).
     # Signatures are joined back for the (rare) candidate pairs instead.
     banded = sk.select(
-        "k", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+        "k",
+        F.explode(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band, as_csv=arithmetic)
+        ).alias("bk"),
     ).select("k", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     # cap degenerate buckets (80k-style guard): keep first max_bucket members
     grouped = banded.groupBy("band", "bucket").agg(
@@ -224,12 +254,20 @@ def connected_components_driver(pairs: DataFrame, a: str = "a", b: str = "b") ->
 
 def connected_components_df(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Scale path: iterative min-label propagation entirely in DataFrames
-    (for when the edge set itself is too big for the driver). Converges in
-    O(log n) iterations for web-dup cluster shapes (small diameters)."""
+    (for when the edge set itself is too big for the driver).
+
+    Convergence is O(component diameter) rounds (plain label propagation,
+    not the O(log n) of star-contraction) — fine for web-dup clusters,
+    whose diameters are small. If a pathological chain is still changing
+    after ``max_iter`` rounds the function RAISES instead of silently
+    returning a split cluster (round-1 ADVICE #4): a wrong cluster id
+    would silently under-deduplicate.
+    """
     edges = pairs.select(F.col("a"), F.col("b")).unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     labels = edges.select(F.col("a").alias("k")).distinct().withColumn("c", F.col("k"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["k"])
@@ -250,6 +288,11 @@ def connected_components_df(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels.localCheckpoint() if changed else new_labels
         if not changed:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components_df did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("k"), F.col("c").alias("dup_cluster_id"))
 
 
@@ -263,10 +306,23 @@ def flag_near_duplicates(
     num_perm: int = 64,
     bands: int = 16,
     use_driver_cc: bool = True,
+    prefer: list | None = None,
 ) -> DataFrame:
     """Full near-dup stage: LSH pairs → threshold → components →
-    earliest-crawl representative per cluster → ``near_duplicate`` flags,
-    ``dup_cluster_id`` annotation. Row count preserved."""
+    representative per cluster → ``near_duplicate`` flags,
+    ``dup_cluster_id`` annotation. Row count preserved.
+
+    ``prefer`` is the pluggable representative-preference rule (the
+    reference's case-preferring independent set,
+    ``shared/samples_qc.py:691-713``): a list of Columns the winner
+    minimizes lexicographically before the key tiebreak. Default
+    ``[F.col(order_col)]`` = earliest-crawl-wins; e.g.
+    ``prefer=[-F.col("quality_score")]`` keeps the highest-quality copy.
+    Keeping exactly one representative per connected component guarantees
+    the kept set induces an edgeless subgraph (every above-threshold pair
+    lies within one component — the reference's nx-independent-set sanity
+    assertion, ``shared/samples_qc.py:656-664``; pinned in tests).
+    """
     pairs = minhash_candidate_pairs(
         df, key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands
     ).filter(F.col("jaccard_est") >= threshold)
@@ -291,10 +347,15 @@ def flag_near_duplicates(
     # TINY clustered subset and broadcast back — NOT a window over the full
     # table (a window with NULL cluster for 99% of rows funnels the whole
     # table into one straggler partition)
+    pref = prefer if prefer is not None else [F.col(order_col)]
     reps = (
         out.filter(F.col("dup_cluster_id").isNotNull())
         .groupBy("dup_cluster_id")
-        .agg(F.min(F.struct(F.col(order_col), F.col(key_col))).alias("w"))
+        .agg(
+            F.min(
+                F.struct(*[p.alias(f"p{i}") for i, p in enumerate(pref)], F.col(key_col))
+            ).alias("w")
+        )
         .select("dup_cluster_id", F.col("w")[key_col].alias("__rep"))
     )
     out = out.join(F.broadcast(reps), "dup_cluster_id", "left")

@@ -54,15 +54,23 @@ class Pipeline:
 
     def run(self, df: DataFrame, from_stage: str | None = None) -> DataFrame:
         """Run all stages; any stage whose checkpoint exists is read back
-        instead of recomputed (cold run ≡ resumed run, FIXTURES.md §7.4)."""
+        instead of recomputed (cold run ≡ resumed run, FIXTURES.md §7.4).
+
+        ``from_stage`` forces recomputation from that stage on: checkpoints
+        of stages at/after it are treated as STALE and rebuilt (the
+        reference's "rerun from step N" knob), while stages before it still
+        resume from their checkpoints as usual.
+        """
+        if from_stage is not None and from_stage not in {s.name for s in self.stages}:
+            raise ValueError(f"unknown stage {from_stage!r}")
         prev_name = None
-        started = from_stage is None
+        force = False
         pending_params: dict[str, Any] = {}
         for st in self.stages:
-            if not started and st.name == from_stage:
-                started = True
+            if from_stage is not None and st.name == from_stage:
+                force = True
             t0 = time.monotonic()
-            if st.materialize and self.store.exists(st.name):
+            if st.materialize and not force and self.store.exists(st.name):
                 df = self.store.read(st.name)
                 pending_params = {}
                 self.results.append(

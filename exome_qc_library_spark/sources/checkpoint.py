@@ -69,25 +69,16 @@ class CheckpointStore:
         }
         if metrics:
             meta["metrics"] = metrics
-        self.fmt.write(df, path, metadata=meta, partition_by=partition_by)
+        # keep the dict write() returned: it carries the format-owned fields
+        # (format/path/partition_by) that must survive the row-count rewrite
+        # (round-1 ADVICE: rewriting from the pre-write meta dropped them)
+        manifest = self.fmt.write(df, path, metadata=meta, partition_by=partition_by)
         out = self.fmt.read(self.spark, path)
         if count_rows:
             # cheap on parquet (footer statistics); recorded for accounting
-            n = out.count()
-            meta["rows"] = n
-            self.fmt.write_manifest_update(path, meta) if hasattr(
-                self.fmt, "write_manifest_update"
-            ) else self._rewrite_manifest(path, meta)
+            manifest["rows"] = out.count()
+            self.fmt.update_manifest(path, manifest)
         return out
-
-    def _rewrite_manifest(self, path: str, meta: dict[str, Any]) -> None:
-        import json
-
-        tmp = os.path.join(path, "_manifest.json.tmp")
-        final = os.path.join(path, "_manifest.json")
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=2, sort_keys=True, default=str)
-        os.replace(tmp, final)
 
     def stage(
         self,

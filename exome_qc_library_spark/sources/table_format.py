@@ -54,6 +54,16 @@ class ParquetManifestFormat:
         os.replace(tmp, final)  # manifest presence == commit marker
         return manifest
 
+    def update_manifest(self, path: str, manifest: dict[str, Any]) -> None:
+        """Atomically rewrite the manifest (post-write enrichment, e.g. row
+        counts). Callers must pass the dict :meth:`write` returned so the
+        format-owned fields (format/path/partition_by) survive the rewrite."""
+        tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+        final = os.path.join(path, MANIFEST_NAME)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True, default=str)
+        os.replace(tmp, final)
+
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
 
@@ -90,6 +100,11 @@ class IcebergFormat:
 
     def read(self, spark, path):
         return spark.read.format("iceberg").load(self._table(path))
+
+    def update_manifest(self, path, manifest):
+        """Iceberg carries metadata as snapshot/table properties set at
+        write time; post-hoc enrichment is a no-op here (a real deployment
+        would ALTER TABLE SET TBLPROPERTIES)."""
 
     def exists(self, spark, path):
         return spark.catalog.tableExists(self._table(path))

@@ -61,6 +61,22 @@ def test_flag_blocklisted_url_and_host(spark):
     assert len(out) == 3
 
 
+def test_flag_blocklisted_preserves_duplicate_urls(spark):
+    # round-1 ADVICE: the old OR-join + dropDuplicates collapsed re-fetched
+    # urls; duplicates must survive, and a row matching by BOTH url and
+    # host must not multiply
+    docs = spark.createDataFrame(
+        [("https://bad.com/p1",), ("https://bad.com/p1",), ("https://ok.com/p",)],
+        "url string",
+    )
+    bl = spark.createDataFrame(
+        [("bad.com",), ("https://bad.com/p1",)], "url_or_host string"
+    )
+    out = flag_blocklisted(docs, bl)
+    assert out.count() == 3  # both re-fetches kept, no multiplication
+    assert out.filter(F.array_contains("low_pass_failing_qc", "blocklisted")).count() == 2
+
+
 def test_substring_flags_and_eager_removal(spark):
     docs = spark.createDataFrame(
         [("https://a.com/casino/win",), ("https://b.com/news",)], "url string"

@@ -65,6 +65,47 @@ def test_flag_near_duplicates_earliest_representative(spark):
     assert out.count() == 5
 
 
+def test_near_dup_pluggable_preference(spark):
+    # prefer=[-quality] keeps the highest-quality copy instead of earliest
+    df = _docs(spark).withColumn(
+        "q", F.when(F.col("url") == "u2", 9.0).otherwise(1.0)
+    )
+    out = flag_near_duplicates(df, threshold=0.5, prefer=[-F.col("q")])
+    flags = {r["url"]: r["final_failing_qc"] for r in out.collect()}
+    assert flags["u2"] == []  # highest quality wins
+    assert flags["u1"] == ["near_duplicate"] and flags["u3"] == ["near_duplicate"]
+
+
+def test_kept_set_is_edgeless(spark):
+    # the reference asserts its independent set induces no edges
+    # (shared/samples_qc.py:656-664): no above-threshold pair may have
+    # BOTH endpoints kept
+    out = flag_near_duplicates(_docs(spark), threshold=0.5)
+    kept = {
+        r["url"]
+        for r in out.filter(~F.array_contains("final_failing_qc", "near_duplicate")).collect()
+    }
+    pairs = (
+        minhash_candidate_pairs(_docs(spark))
+        .filter(F.col("jaccard_est") >= 0.5)
+        .collect()
+    )
+    assert pairs, "planted near-dups must produce pairs"
+    for p in pairs:
+        assert not (p["a"] in kept and p["b"] in kept)
+
+
+def test_connected_components_df_raises_when_unconverged(spark):
+    import pytest
+
+    # a 5-hop chain cannot converge in 2 min-label rounds
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(5)], "a string, b string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_df(chain, max_iter=2)
+
+
 def test_exact_jaccard_agrees(spark):
     pairs = {
         (r["a"], r["b"]) for r in jaccard_pairs_exact(_docs(spark), "url", "text", threshold=0.6).collect()

@@ -3,7 +3,10 @@
 import pyspark.sql.functions as F
 
 from exome_qc_library_spark.operators.multimodal import (
+    byte_features,
     decode_media_features,
+    extract_byte_features,
+    sniff_media_type,
     with_media_metadata,
 )
 from exome_qc_library_spark.operators.tokenize import with_fingerprint, with_token_counts
@@ -51,3 +54,62 @@ def test_stub_gate_raises():
 
     with pytest.raises(NotImplementedError):
         decode_media_features(None, allow_stub=False)
+
+
+def test_magic_number_sniffing(spark):
+    rows = [
+        ("png", b"\x89PNG\r\n\x1a\nrest"),
+        ("jpg", b"\xff\xd8\xff\xe0JFIF"),
+        ("gif", b"GIF89a..."),
+        ("mp3", b"ID3\x04tag"),
+        ("wav", b"RIFF$\x00\x00\x00WAVE"),
+        ("gz", b"\x1f\x8b\x08stuff"),
+        ("mp4", b"\x00\x00\x00\x18ftypmp42"),
+        ("html", b"<!DOCTYPE html><p>x</p>"),
+        ("txt", b"just some plain words"),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+    got = {
+        r["id"]: r["mt"]
+        for r in df.select("id", sniff_media_type(F.col("payload")).alias("mt")).collect()
+    }
+    assert got == {
+        "png": "image/png",
+        "jpg": "image/jpeg",
+        "gif": "image/gif",
+        "mp3": "audio/mpeg",
+        "wav": "audio/wav",
+        "gz": "application/gzip",
+        "mp4": "video/mp4",
+        "html": "text/html",
+        "txt": "application/octet-stream",
+        "none": None,
+    }
+
+
+def test_byte_features_kernel():
+    # constant payload → zero entropy, all mass in one nibble bucket
+    f = byte_features(b"\x00" * 100)
+    assert f[0] == 0.0 and f[1] == 1.0 and sum(f[1:]) == 1.0
+    # uniform 0..255 → 8 bits/byte entropy, uniform nibble histogram
+    f = byte_features(bytes(range(256)))
+    assert abs(f[0] - 8.0) < 1e-9
+    assert all(abs(x - 1 / 16) < 1e-12 for x in f[1:])
+    assert byte_features(b"") == [0.0] * 17
+
+
+def test_extract_byte_features_distributed(spark):
+    df = spark.createDataFrame(
+        [("a", b"\x00" * 50), ("b", bytes(range(256))), ("c", None)],
+        "id string, payload binary",
+    )
+    got = {
+        r["id"]: r["media_features"]
+        for r in extract_byte_features(df, bin_col="payload").collect()
+    }
+    assert got["a"][0] == 0.0 and got["a"][1] == 1.0
+    assert abs(got["b"][0] - 8.0) < 1e-9
+    assert got["c"] is None
+    # distributed result ≡ local kernel
+    assert got["b"] == byte_features(bytes(range(256)))
