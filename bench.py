@@ -34,7 +34,10 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
 BENCH_QUERIES = [
     "flagship_flag_counts",
     "text_metrics",
-    "langid_expr",
+    "langid_udf",  # production scorer (NB trigram + perplexity, fused UDF);
+    # the oracle-mirrorable expression scorer `langid_expr` stays in the
+    # correctness contract but out of the headline (VERDICT r1 #7 — it was
+    # 19.5s of the 84.3s headline while the UDF path is the deployed one)
     "scrub_pii",
     "token_counts",
     "exact_dedup",
@@ -43,6 +46,20 @@ BENCH_QUERIES = [
     "sessionize",
     "segment_zscore",
 ]
+
+
+def _langid_udf_workload(spark, sf_dir):
+    """Production text-scoring path: fused language-ID + perplexity
+    iterator pandas UDF (one Arrow shipment of text)."""
+    import os as _os
+
+    from exome_qc_library_spark.operators.perplexity import with_text_scores
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return with_text_scores(docs).select("doc_id", "lang_id", "lang_conf", "perplexity")
+
+
+EXTRA_WORKLOADS = {"langid_udf": _langid_udf_workload}
 
 
 def main() -> None:
@@ -69,12 +86,15 @@ def main() -> None:
     # -- operator queries at SF_DIR
     skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1"
     for name in [] if skip_queries else BENCH_QUERIES:
-        fn, _sql = QUERIES[name]
+        fn = EXTRA_WORKLOADS.get(name) or QUERIES[name][0]
         t0 = time.monotonic()
-        # count() forces full execution without driver-side materialization
-        n = fn(spark, SF_DIR).count()
+        # noop sink, NOT count(): count() lets Catalyst prune every unused
+        # projection column, so projection-shaped workloads (metrics, scrub,
+        # UDF scoring) would be timed as near-empty scans; the noop write
+        # forces full evaluation of all output columns with no driver
+        # materialization
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        assert n >= 0
 
     # -- end-to-end pipeline on synthesized pages
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")

@@ -1228,6 +1228,26 @@ FROM embeddings
 """
 
 
+def q_union_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 union-cols: two column-disjoint projections of the documents
+    table recombined by row key (Hail ``union_cols`` analog), with a
+    deliberately overlapping column to exercise the suffix rule."""
+    from .operators.enrich import union_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.select("doc_id", "lang", "n_chars")
+    right = docs.select("doc_id", "source", F.col("n_chars"))
+    return union_cols(left, right, key="doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "n_chars_r"
+    )
+
+
+_Q_UNION_COLS_SQL = """
+SELECT a.doc_id, a.lang, b.source, a.n_chars, b.n_chars AS n_chars_r
+FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+"""
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata operator: opaque binary payload → sniffed media
     type (magic numbers), byte length, content sha256 — pure expressions
@@ -1286,5 +1306,6 @@ QUERIES.update(
         "ingest_extract": (q_ingest_extract, _Q_INGEST_SQL),
         "pc_project": (q_pc_project, _pc_project_sql()),
         "media_meta": (q_media_meta, _media_meta_sql()),
+        "union_cols": (q_union_cols, _Q_UNION_COLS_SQL),
     }
 )

@@ -33,6 +33,28 @@ def enrich_with_host_metadata(
     return out.join(F.broadcast(host_metadata), host_col, "left")
 
 
+def union_cols(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """J8 ``union_cols`` analog: combine two tables' column sets keyed by
+    the row key (Hail's column-wise MatrixTable union). Pure equi-join;
+    overlapping non-key columns from ``b`` get ``suffix``. Broadcast is
+    left to AQE/statistics — either side may be the big one.
+
+    Reference: ``mt.union_cols`` usage in the merged-callset flow
+    (SURVEY.md §2.3 J8).
+    """
+    overlap = (set(a.columns) & set(b.columns)) - {key}
+    renamed = b
+    for c in overlap:
+        renamed = renamed.withColumnRenamed(c, f"{c}{suffix}")
+    return a.join(renamed, key, how)
+
+
 def flag_spam_hosts(
     df: DataFrame,
     max_spam_score: float = 0.8,

@@ -14,13 +14,22 @@ Provided here:
 * :func:`streaming_quality_flags` — the stateless stage chain as a
   streaming transformation;
 * :func:`windowed_flag_counts` — watermarked per-crawl-window flag
-  accounting (late pages up to the watermark are folded in).
+  accounting (late pages up to the watermark are folded in);
+* :func:`streaming_host_counters` — CUSTOM STATEFUL operator
+  (``applyInPandasWithState``): per-host running QC counters maintained
+  across micro-batches — the streaming analog of the batch
+  ``host_metrics`` aggregation, with host-keyed state instead of a
+  shuffle-per-batch recompute.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.hard_filters import LOW_PASS, apply_hard_filters
 from ..operators.ingest import ingest_pages
@@ -58,6 +67,42 @@ def windowed_flag_counts(
         .select(F.col("warc_ts"), F.explode_outer("low_pass_failing_qc").alias("flag"))
         .groupBy(F.window("warc_ts", window), "flag")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def streaming_host_counters(flagged: DataFrame, flag_col: str = "low_pass_failing_qc") -> DataFrame:
+    """Per-host running (n_docs, n_flagged) counters across micro-batches.
+
+    The custom-stateful-operator pattern the target engine needs at 100 TB
+    ingest: state is partitioned by host (Spark's state store shuffles
+    each micro-batch by the grouping key once), each group's Arrow batches
+    fold into two integers, and the updated counter row is emitted per
+    trigger (``outputMode=update``). State never grows beyond one row per
+    host. ``GroupStateTimeout.NoTimeout`` — crawl hosts recur indefinitely;
+    a TTL deployment would use event-time timeout + watermark.
+    """
+    src = flagged.select(
+        F.col("host"), (F.size(flag_col) > 0).cast("int").alias("is_flagged")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_docs, n_flagged = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_flagged += int(pdf["is_flagged"].sum())
+        state.update((n_docs, n_flagged))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_docs": [n_docs], "n_flagged": [n_flagged]}
+        )
+
+    return src.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, n_docs long, n_flagged long",
+        stateStructType="n_docs long, n_flagged long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -22,6 +22,63 @@ def test_stream_pipeline_counts(spark, pages):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_stateful_host_counters_accumulate_across_batches(spark, pages):
+    """applyInPandasWithState: per-host counters must fold state across
+    micro-batches (maxFilesPerTrigger=1 over a multi-file source) and the
+    final counter per host must equal the batch aggregation."""
+    import pyspark.sql.functions as F
+
+    from exome_qc_library_spark.functions.urltools import with_host
+    from exome_qc_library_spark.operators.hard_filters import LOW_PASS, apply_hard_filters
+    from exome_qc_library_spark.operators.ingest import ingest_pages
+    from exome_qc_library_spark.streaming.stream import (
+        stream_pages,
+        streaming_host_counters,
+    )
+    from exome_qc_library_spark.synth import PAGES_SCHEMA
+
+    src = tempfile.mkdtemp(prefix="stream_state_")
+    try:
+        pages.limit(120).repartition(4).write.mode("overwrite").parquet(src)
+
+        def flagged(df):
+            return with_host(apply_hard_filters(ingest_pages(df), "low_pass_failing_qc", LOW_PASS))
+
+        q = (
+            streaming_host_counters(flagged(stream_pages(spark, src, max_files_per_trigger=1)))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_state")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # update-mode memory sink appends each trigger's emissions: the MAX
+        # per host is the final accumulated state
+        got = {
+            r["host"]: (r["n_docs"], r["n_flagged"])
+            for r in spark.sql(
+                "SELECT host, max(n_docs) AS n_docs, max(n_flagged) AS n_flagged "
+                "FROM t_state GROUP BY host"
+            ).collect()
+        }
+        want = {
+            r["host"]: (r["n"], r["f"])
+            for r in flagged(spark.read.schema(PAGES_SCHEMA).parquet(src))
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.size("low_pass_failing_qc") > 0).alias("f"),
+            )
+            .collect()
+        }
+        assert got == want
+        assert len(want) > 1
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_streaming_matches_batch_flags(spark, pages):
     """The same stage functions run in batch — flag totals must agree."""
     import pyspark.sql.functions as F

@@ -83,9 +83,17 @@ def main() -> None:
     # approximate uncontended capability
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     runs: dict[int, list[dict]] = {n: [] for n in LEVELS}
-    for _ in range(repeats):
+    for rep in range(repeats):
         for n in LEVELS:
-            runs[n].append(run_level(n))
+            r = run_level(n)
+            runs[n].append(r)
+            # incremental progress line: a killed run still leaves evidence
+            print(
+                json.dumps(
+                    {"rep": rep, "level": n, "pipeline_sec": r["queries"]["pipeline_e2e"]}
+                ),
+                flush=True,
+            )
     results = {
         n: min(rs, key=lambda r: r["queries"]["pipeline_e2e"]) for n, rs in runs.items()
     }
@@ -95,9 +103,11 @@ def main() -> None:
     eff = (t_n / t_m) / (m / n)
     # machine ceiling: best of `repeats` interleaved pure-parallel probes
     cal: dict[int, float] = {lv: float("inf") for lv in LEVELS}
-    for _ in range(min(repeats, 2)):
+    cal_reps = int(os.environ.get("SPARK_GRAFT_CAL_REPEATS", "1"))
+    for _ in range(cal_reps):
         for lv in LEVELS:
             cal[lv] = min(cal[lv], calibrate_level(lv))
+            print(json.dumps({"cal_level": lv, "sec": cal[lv]}), flush=True)
     cal_eff = (cal[n] / cal[m]) / (m / n)
     report = {
         "levels": LEVELS,
