@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 
 from exome_qc_library_spark.operators.similarity import (
     cosine_topk_brute,
+    cosine_topk_brute_np,
     cosine_topk_ivf,
     embedding_near_dup_pairs,
     ivf_assign,
@@ -32,6 +33,29 @@ def test_brute_topk(spark):
     assert got[0][0] == 1  # closest to e1 is the slightly rotated e1
     assert len(got) == 2
     assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in out)
+
+
+def test_numpy_brute_matches_expression_brute(spark):
+    # the BLAS production path must return the same neighbors/ranks as the
+    # oracle-mirrorable expression path (ties broken identically)
+    df = _vecs(spark)
+    q = df.filter("vec_id < 3")
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in cosine_topk_brute(df, q, k=3).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in cosine_topk_brute_np(df, q, k=3).collect()
+    }
+    assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in b.items()}
+    for key in a:
+        assert abs(a[key][1] - b[key][1]) < 1e-9
+
+
+def test_numpy_brute_empty_queries(spark):
+    out = cosine_topk_brute_np(_vecs(spark), _vecs(spark).filter("vec_id < 0"), k=3)
+    assert out.count() == 0
 
 
 def test_ivf_matches_brute_on_separated_clusters(spark):
