@@ -1,0 +1,91 @@
+"""Physical-plan audits: the scale properties the engine claims must be
+visible in the executed plan, not just asserted in prose (SURVEY.md §4).
+
+Each test pins one property: predicate pushdown reaching the parquet
+scan, column pruning (ReadSchema), broadcast joins for small dims,
+window-free host QC, shuffle-free IVF assignment (in test_similarity),
+and absence of cartesian products in the LSH pair generation.
+"""
+
+import pyspark.sql.functions as F
+
+from exome_qc_library_spark.entry_queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(name, spark):
+    fn, _sql = QUERIES[name]
+    return fn(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    # tpch_pricing filters l_shipdate <= date: must appear as PushedFilters
+    plan = _plan(q("tpch_pricing", spark))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning_token_counts(spark):
+    # token_counts reads only doc_id + text: the scan schema must not
+    # include lang/source/n_chars
+    plan = _plan(q("token_counts", spark))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_join_agg_uses_broadcast_joins(spark):
+    # small dims (customer, nation) broadcast — no sort-merge shuffle join
+    plan = _plan(q("join_agg_revenue", spark))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_host_outliers_plan_is_window_free(spark):
+    # A13 via grouped agg + broadcast, never a WindowExec (VERDICT r1 #3)
+    plan = _plan(q("host_outliers", spark))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_pairs_no_cartesian(spark):
+    # candidate generation must never be a cartesian/nested-loop product
+    plan = _optimized(q("minhash_pairs", spark))
+    assert "Join Cross" not in plan and "CartesianProduct" not in plan
+
+
+def test_exact_dedup_pipeline_form_is_aggregate_not_window(spark):
+    # the PIPELINE exact-dedup (sha2 groupBy min-struct) — scale shape
+    from exome_qc_library_spark.operators.dedup import flag_exact_duplicates
+
+    df = spark.createDataFrame(
+        [("u1", 1, "x"), ("u2", 2, "x")], "url string, warc_ts long, text string"
+    )
+    plan = _plan(flag_exact_duplicates(df))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_whole_stage_codegen_on_scan_agg(spark):
+    # simple-expression scan+agg queries must sit inside WholeStageCodegen
+    # (HOF-lambda projections like text_metrics are interpreted by design —
+    # Spark excludes higher-order functions from codegen — so the codegen
+    # check pins the arithmetic/aggregate shapes instead)
+    import re
+
+    for name in ("histogram_chars", "tpch_pricing"):
+        df = q(name, spark)
+        df.collect()  # finalize the AQE plan — codegen markers appear only then
+        plan = _plan(df)
+        # AQE's final-plan rendering marks codegen stages as `*(n) Operator`
+        assert re.search(r"\*\(\d+\) (Hash|Sort)Aggregate", plan), (name, plan[:400])
