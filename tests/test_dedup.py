@@ -55,6 +55,23 @@ def test_minhash_finds_planted_pair(spark):
     assert not any("u4" in p for p in pairs)
 
 
+def test_arithmetic_minhash_agrees_with_production(spark):
+    # the oracle-checked arithmetic mode shares the banding/pairing code
+    # path with the xxhash64+numpy production mode — both must surface the
+    # planted exact pair with jaccard_est 1.0 and agree on the near pair
+    prod = {
+        (r["a"], r["b"]): r["jaccard_est"]
+        for r in minhash_candidate_pairs(_docs(spark)).collect()
+    }
+    arith = {
+        (r["a"], r["b"]): r["jaccard_est"]
+        for r in minhash_candidate_pairs(_docs(spark), arithmetic=True).collect()
+    }
+    assert prod[("u1", "u2")] == 1.0 and arith[("u1", "u2")] == 1.0
+    assert any("u3" in p for p in prod) and any("u3" in p for p in arith)
+    assert not any("u4" in p for p in prod) and not any("u4" in p for p in arith)
+
+
 def test_flag_near_duplicates_earliest_representative(spark):
     out = flag_near_duplicates(_docs(spark), threshold=0.5)
     flags = {r["url"]: r["final_failing_qc"] for r in out.collect()}
