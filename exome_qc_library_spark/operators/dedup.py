@@ -148,7 +148,7 @@ def minhash_candidate_pairs(
     # scale).
     base = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
     if arithmetic:
-        from ..functions.hashing import minhash_signature, poly_shingle_hashes
+        from ..functions.hashing import poly_shingle_hashes
 
         # materialize the base-hash array BEFORE the num_perm-way signature
         # fan-out: each of the num_perm array_min branches references the
