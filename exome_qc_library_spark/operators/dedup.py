@@ -342,9 +342,14 @@ def flag_near_duplicates(
         cdf = connected_components_df(pairs).withColumnsRenamed(
             {"k": key_col, "dup_cluster_id": "dup_cluster_id"}
         )
-    out = df.join(F.broadcast(cdf), key_col, "left")
-    # representative = earliest (order_col, key) per cluster, computed on the
-    # TINY clustered subset and broadcast back — NOT a window over the full
+    # broadcast ONLY on the driver path (the mapping already fit in driver
+    # memory, so it broadcasts by construction); the distributed-CC path
+    # exists precisely because the cluster mapping may NOT fit — there the
+    # join is left to AQE, which shuffles or broadcasts on actual size
+    maybe_bcast = F.broadcast if use_driver_cc else (lambda d: d)
+    out = df.join(maybe_bcast(cdf), key_col, "left")
+    # representative = preferred (pref..., key) min per cluster, computed on
+    # the TINY clustered subset and joined back — NOT a window over the full
     # table (a window with NULL cluster for 99% of rows funnels the whole
     # table into one straggler partition)
     pref = prefer if prefer is not None else [F.col(order_col)]
@@ -358,7 +363,7 @@ def flag_near_duplicates(
         )
         .select("dup_cluster_id", F.col("w")[key_col].alias("__rep"))
     )
-    out = out.join(F.broadcast(reps), "dup_cluster_id", "left")
+    out = out.join(maybe_bcast(reps), "dup_cluster_id", "left")
     is_dup = F.col("dup_cluster_id").isNotNull() & (F.col(key_col) != F.col("__rep"))
     return add_flags(out, flag_col, {"near_duplicate": is_dup}).drop("__rep")
 

@@ -123,6 +123,22 @@ def test_connected_components_df_raises_when_unconverged(spark):
         connected_components_df(chain, max_iter=2)
 
 
+def test_distributed_cc_path_matches_driver_path(spark):
+    # use_driver_cc=False (the does-not-fit-on-driver scale path, no forced
+    # broadcast) must produce identical flags and cluster membership
+    a = {
+        r["url"]: (r["final_failing_qc"], r["dup_cluster_id"] is not None)
+        for r in flag_near_duplicates(_docs(spark), threshold=0.5).collect()
+    }
+    b = {
+        r["url"]: (r["final_failing_qc"], r["dup_cluster_id"] is not None)
+        for r in flag_near_duplicates(
+            _docs(spark), threshold=0.5, use_driver_cc=False
+        ).collect()
+    }
+    assert a == b
+
+
 def test_exact_jaccard_agrees(spark):
     pairs = {
         (r["a"], r["b"]) for r in jaccard_pairs_exact(_docs(spark), "url", "text", threshold=0.6).collect()
