@@ -990,20 +990,33 @@ FROM documents GROUP BY CUBE (lang, source)
 
 
 def q_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 deterministic 20% sampling (``mt.sample_rows`` analog,
+    """O1 deterministic ~20% sampling (``mt.sample_rows`` analog,
     variant_qc.py:48) via a Knuth multiplicative-hash gate on the key —
     exactly reproducible in ANSI SQL, unlike engine RNG streams, and
     partition-layout-independent at any scale (``df.sample(seed=...)``
     remains available as the RNG path; its per-seed determinism is pinned
-    in tests/test_properties.py)."""
+    in tests/test_properties.py).
+
+    Multiplicative hashing mixes only into the HIGH bits, so the gate
+    takes ``>> 16`` before the mod (round-2 ADVICE: the bare
+    ``(id*K) % 100`` was a bijection on residues — systematic, not
+    hashed, sampling); the key is masked to 31 bits first so the int64
+    product can never overflow (Spark wraps silently where DuckDB raises,
+    so an unguarded multiply diverges between engines at doc_id ≥ ~3.5e9).
+    """
     docs = _t(spark, sf_dir, "documents")
-    return docs.filter(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) < 20
-    ).select("doc_id")
+    gate = F.pmod(
+        F.shiftright(
+            F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), 16
+        ),
+        F.lit(100),
+    )
+    return docs.filter(gate < 20).select("doc_id")
 
 
 _Q_SAMPLE_SQL = """
-SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 20
+SELECT doc_id FROM documents
+WHERE (((doc_id & 2147483647) * 2654435761) >> 16) % 100 < 20
 """
 
 
@@ -1100,11 +1113,12 @@ hm AS (
 ),
 st AS (SELECT lang, avg(mwc) AS mu, stddev_samp(mwc) AS sd FROM hm GROUP BY lang),
 bad AS (
-  SELECT DISTINCT host FROM hm JOIN st USING (lang)
+  SELECT DISTINCT host, lang FROM hm JOIN st USING (lang)
   WHERE coalesce(sd > 1e-9 * greatest(abs(mu), 1.0)
                  AND abs(mwc - mu) > 1.0 * sd, false)
 )
-SELECT doc_id, (host IN (SELECT host FROM bad)) AS host_outlier FROM d
+SELECT d.doc_id, (b.host IS NOT NULL) AS host_outlier
+FROM d LEFT JOIN bad b USING (host, lang)
 """
 
 
@@ -1269,7 +1283,10 @@ def _media_meta_sql() -> str:
     from .operators.multimodal import _MAGIC
 
     whens = "\n       ".join(
-        f"WHEN substr(hx, {off}, {len(p)}) = '{p}' THEN '{mt}'" for p, off, mt in _MAGIC
+        "WHEN "
+        + " AND ".join(f"substr(hx, {off}, {len(p)}) = '{p}'" for p, off in conds)
+        + f" THEN '{mt}'"
+        for conds, mt in _MAGIC
     )
     return f"""
 WITH h AS (

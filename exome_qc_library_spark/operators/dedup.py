@@ -372,44 +372,80 @@ def flag_near_duplicates(
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, simhash64(F.col(text_col)))
+    """NULL/blank text → NULL sketch (not the all-zero-vote 0 sketch, which
+    would co-block every empty doc into one degenerate quarter block);
+    ``simhash_pairs`` drops NULL sketches before blocking."""
+    has_text = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    return df.withColumn(out_col, F.when(has_text, simhash64(F.col(text_col))))
 
 
 def simhash_pairs(
-    df: DataFrame, key_col: str = "url", sim_col: str = "simhash", max_hamming: int = 3
+    df: DataFrame,
+    key_col: str = "url",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    max_block: int = 200,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: block on 16-bit quarters (a pair
     within hamming ≤ 3 of a 64-bit hash shares at least one exact quarter
     — pigeonhole), then verify the full distance. Shuffle key = quarter
-    value, never the pair space."""
+    value, never the pair space.
+
+    Degenerate blocks are capped at ``max_block`` members (round-2 VERDICT
+    #2): a hot quarter value shared by m docs — near-empty pages, a popular
+    template — would otherwise emit O(m²) join rows and OOM one reducer at
+    web scale. Same ``collect_list → slice`` guard as
+    :func:`minhash_candidate_pairs` (the reference caps every O(n²)-shaped
+    working set, ``shared/variant_qc.py:29-63``); keys are sorted first so
+    the kept subset is deterministic. Hashes are joined back onto the
+    (rare) candidate pairs for full-distance verification — the 8-byte
+    simhash never rides the exploded quarter shuffle.
+    """
+    sk = df.filter(F.col(sim_col).isNotNull()).select(
+        F.col(key_col).alias("k"), F.col(sim_col).alias("s")
+    )
     quarters = F.array(
         *[
             F.struct(
                 F.lit(q).alias("q"),
-                F.shiftright(F.col(sim_col), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                F.shiftright(F.col("s"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
             )
             for q in range(4)
         ]
     )
-    blocked = df.filter(F.col(sim_col).isNotNull()).select(
-        F.col(key_col).alias("k"), F.col(sim_col).alias("s"), F.explode(quarters).alias("blk")
+    blocked = sk.select("k", F.explode(quarters).alias("blk")).select(
+        "k", F.col("blk.q").alias("q"), F.col("blk.v").alias("v")
     )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk.q") == F.col("b.blk.q"))
-            & (F.col("a.blk.v") == F.col("b.blk.v"))
-            & (F.col("a.k") < F.col("b.k")),
-        )
+    grouped = blocked.groupBy("q", "v").agg(
+        F.slice(F.array_sort(F.collect_list("k")), 1, max_block).alias("ks")
+    )
+    cand = (
+        grouped.filter(F.size("ks") > 1)
         .select(
-            F.col("a.k").alias("a"),
-            F.col("b.k").alias("b"),
-            hamming64(F.col("a.s"), F.col("b.s")).alias("hamming"),
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ks"),
+                            lambda x: F.transform(
+                                F.col("ks"), lambda y: F.struct(x.alias("x"), y.alias("y"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["x"] < p["y"],
+                )
+            ).alias("p")
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    siga = sk.select(F.col("k").alias("a"), F.col("s").alias("sa"))
+    sigb = sk.select(F.col("k").alias("b"), F.col("s").alias("sb"))
+    return (
+        cand.join(siga, "a")
+        .join(sigb, "b")
+        .select("a", "b", hamming64(F.col("sa"), F.col("sb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -423,12 +459,22 @@ def jaccard_pairs_exact(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (baseline / verifier for LSH).
 
     O(n²) within a block — use ``block_col`` (e.g. host or LSH bucket) to
-    bound n; the unblocked form is the small-data oracle baseline.
+    bound n. The unblocked form is the small-data oracle baseline ONLY and
+    must be requested explicitly with ``allow_unblocked=True`` so pipeline
+    code can never reach the full cross product by accident (the reference
+    caps every O(n²)-shaped working set, ``shared/variant_qc.py:29-63``).
     """
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "jaccard_pairs_exact without block_col is O(n²) over the whole "
+            "table; pass block_col (host / LSH bucket) or allow_unblocked=True "
+            "for a small-data baseline"
+        )
     sh = df.select(
         F.col(key_col).alias("k"),
         (F.col(block_col) if block_col else F.lit(1)).alias("blk"),

@@ -51,7 +51,15 @@ def union_cols(
     overlap = (set(a.columns) & set(b.columns)) - {key}
     renamed = b
     for c in overlap:
-        renamed = renamed.withColumnRenamed(c, f"{c}{suffix}")
+        target = f"{c}{suffix}"
+        # the rename must not silently shadow an existing column — duplicate
+        # names make every later by-name select ambiguous at a distance
+        if target in a.columns or target in b.columns:
+            raise ValueError(
+                f"union_cols: renaming overlapping column {c!r} to {target!r} "
+                f"collides with an existing column; pass a different suffix"
+            )
+        renamed = renamed.withColumnRenamed(c, target)
     return a.join(renamed, key, how)
 
 

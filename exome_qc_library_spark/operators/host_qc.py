@@ -96,6 +96,12 @@ def flag_host_outliers(
     Plan shape: groupBy host (salted) → groupBy batch (tiny) → broadcast
     stats join onto host metrics → broadcast outlier-host set join onto
     the docs. The doc table is never shuffled and no WindowExec appears.
+
+    When ``batch_col`` is set, flagging is WITHIN-STRATUM: the outlier set
+    keys on (host, batch) and docs join back on both, so a host that is an
+    outlier in one batch does not flag its docs in other batches — the
+    reference gates on ``cols[batch_col] == batch``
+    (``shared/samples_qc.py:466-472``; round-2 VERDICT #4 / ADVICE).
     """
     hm = host_metrics(df, url_col=url_col, batch_col=batch_col, measures=measures)
     stats = host_outlier_stats(hm, batch_col=batch_col, measures=measures)
@@ -116,14 +122,15 @@ def flag_host_outliers(
             F.lit(False),
         )
         outlier_cond = cond if outlier_cond is None else (outlier_cond | cond)
+    bad_keys = ["host"] + ([batch_col] if batch_col else [])
     bad_hosts = (
         scored.withColumn("__bad", outlier_cond)
         .filter(F.col("__bad"))
-        .select("host")
+        .select(*bad_keys)
         .distinct()
     )
     out = df.withColumn("host", host_expr(F.col(url_col))).join(
-        F.broadcast(bad_hosts.withColumn("__host_outlier", F.lit(True))), "host", "left"
+        F.broadcast(bad_hosts.withColumn("__host_outlier", F.lit(True))), bad_keys, "left"
     )
     out = add_flags(
         out, flag_col, {"host_outlier": F.coalesce(F.col("__host_outlier"), F.lit(False))}

@@ -9,11 +9,19 @@ Each round is ONE aggregation job over all measures (the reference runs
 one per measure). The loop is driver-side control flow over lazily-built
 plans; survivor state is a boolean column, never a shrinking table, so
 the final output keeps every row (annotate-don't-drop).
+
+Scale shape (round-2 VERDICT #3 rewrite): the loop aggregates over a
+NARROW (measures-only) projection checkpointed ONCE — the full table
+(including text payloads) is never materialized per round. Because each
+round's cutoffs are driver-side literals, the final survivor predicate is
+a pure expression (the conjunction of every round's ``¬outlier`` test),
+so the flag applies to the original table with no join-back and no extra
+shuffle: per-round cost is one tiny aggregation over the narrow table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.flags import add_flags
@@ -29,11 +37,12 @@ def flag_iterative_outliers(
     flag_col: str = "final_failing_qc",
     tag: str = "metric_outlier",
 ) -> DataFrame:
-    df = df.withColumn("__live", F.lit(True))
-    df = df.localCheckpoint(eager=True)  # cut lineage once; loop adds to it
-    for i in range(max_iter):
+    # measures-only projection: the only thing the loop ever materializes
+    narrow = df.select(*measures).localCheckpoint(eager=True)
+    live: Column = F.lit(True)
+    for _ in range(max_iter):
         stats = (
-            df.filter(F.col("__live"))
+            narrow.filter(live)
             .agg(
                 *[F.avg(m).alias(f"mu_{m}") for m in measures],
                 *[F.stddev_samp(m).alias(f"sd_{m}") for m in measures],
@@ -46,10 +55,10 @@ def flag_iterative_outliers(
             if mu is None or sd is None or sd == 0.0:
                 continue
             cond = cond | (F.abs(F.col(m) - F.lit(mu)) > F.lit(k_sigma * sd))
-        newly_out = df.filter(F.col("__live") & cond).limit(1).count()
-        df = df.withColumn("__live", F.col("__live") & ~F.coalesce(cond, F.lit(False)))
-        df = df.localCheckpoint(eager=True)
+        newly_out = narrow.filter(live & cond).limit(1).count()
+        live = live & ~F.coalesce(cond, F.lit(False))
         if newly_out == 0:
             break
-    out = add_flags(df, flag_col, {tag: ~F.col("__live")})
-    return out.drop("__live")
+    # cutoffs are literals → the survivor predicate transfers verbatim to
+    # the full table: annotate in one pass, zero joins
+    return add_flags(df, flag_col, {tag: ~live})

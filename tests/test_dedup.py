@@ -15,6 +15,8 @@ from exome_qc_library_spark.operators.dedup import (
     flag_near_duplicates,
     jaccard_pairs_exact,
     minhash_candidate_pairs,
+    simhash_pairs,
+    with_simhash,
 )
 
 
@@ -141,9 +143,57 @@ def test_distributed_cc_path_matches_driver_path(spark):
 
 def test_exact_jaccard_agrees(spark):
     pairs = {
-        (r["a"], r["b"]) for r in jaccard_pairs_exact(_docs(spark), "url", "text", threshold=0.6).collect()
+        (r["a"], r["b"])
+        for r in jaccard_pairs_exact(
+            _docs(spark), "url", "text", threshold=0.6, allow_unblocked=True
+        ).collect()
     }
     assert ("u1", "u2") in pairs
+
+
+def test_simhash_pairs_hamming_blocking(spark):
+    # hand-planted 64-bit hashes: u1/u2 differ in 2 bits (≤3 → pair),
+    # u1/u3 share no 16-bit quarter (pigeonhole: never co-blocked),
+    # u4 is 5 bits from u1 (co-blocked but fails the hamming verify)
+    h1 = 0x1111_2222_3333_4444
+    rows = [
+        ("u1", h1),
+        ("u2", h1 ^ 0b11),  # hamming 2
+        ("u3", h1 ^ 0x0001_0001_0001_0001),  # one bit per quarter: hamming 4
+        ("u4", h1 ^ 0b1111111),  # hamming 7 from u1, 5 from u2; shares 3 quarters
+        ("u5", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, simhash long")
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    assert got == {("u1", "u2"): 2}
+
+
+def test_simhash_pairs_degenerate_block_capped(spark):
+    # round-2 VERDICT #2: m identical simhashes must NOT emit O(m²) pairs —
+    # the quarter-block is capped like minhash max_bucket
+    m, cap = 40, 5
+    df = spark.createDataFrame(
+        [(f"u{i:03d}", 0x0123_4567_89AB_CDEF) for i in range(m)],
+        "url string, simhash long",
+    )
+    pairs = simhash_pairs(df, max_block=cap).collect()
+    assert len(pairs) == cap * (cap - 1) // 2  # C(cap,2), not C(m,2)
+    kept = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    assert kept == {f"u{i:03d}" for i in range(cap)}  # deterministic (sorted) subset
+
+
+def test_with_simhash_roundtrip(spark):
+    out = with_simhash(_docs(spark))
+    vals = {r["url"]: r["simhash"] for r in out.collect()}
+    assert vals["u1"] == vals["u2"]  # identical text → identical sketch
+    assert vals["u5"] is None
+
+
+def test_exact_jaccard_unblocked_requires_opt_in(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="block_col"):
+        jaccard_pairs_exact(_docs(spark), "url", "text")
 
 
 def test_connected_components_driver_and_df_agree(spark):

@@ -96,6 +96,38 @@ def test_flag_host_outliers_batch_stratified(spark):
     assert out.count() == 86  # annotate-don't-drop
 
 
+def test_flag_host_outliers_within_stratum_only(spark):
+    # round-2 VERDICT #4 / ADVICE: a host spanning two batches that is an
+    # outlier in ONE batch must flag its docs in that batch only — the old
+    # join collapsed the batch dimension and flagged every batch
+    rows = []
+    for i in range(40):
+        rows.append((f"https://a{i % 8}.com/p{i}", "b1", 100 + i % 5, 0.01, 0.3))
+    for i in range(40):
+        # b2 is perfectly uniform → σ over host means is 0 → the degenerate-σ
+        # guard must keep EVERY b2 host unflagged
+        rows.append((f"https://b{i % 8}.com/p{i}", "b2", 100, 0.01, 0.3))
+    # cross.com: wildly anomalous in b1 (300 vs ~102), perfectly normal in b2
+    for i in range(6):
+        rows.append((f"https://cross.com/x{i}", "b1", 300, 0.01, 0.3))
+    for i in range(6):
+        rows.append((f"https://cross.com/y{i}", "b2", 100, 0.01, 0.3))
+    df = spark.createDataFrame(
+        rows,
+        "url string, crawl_batch string, word_count long, "
+        "symbol_ratio double, stopword_density double",
+    )
+    out = flag_host_outliers(df, batch_col="crawl_batch", k_sigma=2.0)
+    flagged = {
+        (r["host"], r["crawl_batch"])
+        for r in out.filter(F.array_contains("final_failing_qc", "host_outlier"))
+        .select("host", "crawl_batch")
+        .distinct()
+        .collect()
+    }
+    assert flagged == {("cross.com", "b1")}  # b2 docs untouched
+
+
 def test_iterative_outliers_converge(spark):
     rows = [(i, 100.0 + i % 3) for i in range(50)] + [(98, 10_000.0), (99, 9_000.0)]
     df = spark.createDataFrame(rows, "id long, word_count double")
@@ -104,6 +136,25 @@ def test_iterative_outliers_converge(spark):
     flagged = {r["id"] for r in out.filter(F.size("final_failing_qc") > 0).collect()}
     assert flagged == {98, 99}
     assert out.count() == 52
+
+
+def test_iterative_outliers_narrow_state(spark):
+    # round-2 VERDICT #3: the loop must never materialize the full table —
+    # only a measures-only projection is checkpointed, and the final flag is
+    # a pure expression over the ORIGINAL plan (no join, no ExistingRDD scan
+    # of a full-width checkpoint in the output lineage)
+    df = (
+        spark.range(100)
+        .withColumn("word_count", (F.col("id") % 7 + 100).cast("double"))
+        .withColumn("mean_word_len", F.lit(5.0))
+        .withColumn("stopword_density", F.lit(0.3))
+        .withColumn("big_payload", F.repeat(F.lit("x"), 10))
+    )
+    out = flag_iterative_outliers(df, k_sigma=3.0, max_iter=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # full table was never checkpointed
+    assert "Join" not in plan  # flag applied expression-side, not joined back
+    assert "Range" in plan  # original source still drives the output
 
 
 def test_segment_outliers(spark):

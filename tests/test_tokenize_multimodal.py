@@ -63,6 +63,9 @@ def test_magic_number_sniffing(spark):
         ("gif", b"GIF89a..."),
         ("mp3", b"ID3\x04tag"),
         ("wav", b"RIFF$\x00\x00\x00WAVE"),
+        ("avi", b"RIFF$\x00\x00\x00AVI LIST"),
+        ("webp", b"RIFF$\x00\x00\x00WEBPVP8 "),
+        ("riff", b"RIFF$\x00\x00\x00ACON"),
         ("gz", b"\x1f\x8b\x08stuff"),
         ("mp4", b"\x00\x00\x00\x18ftypmp42"),
         ("html", b"<!DOCTYPE html><p>x</p>"),
@@ -80,6 +83,9 @@ def test_magic_number_sniffing(spark):
         "gif": "image/gif",
         "mp3": "audio/mpeg",
         "wav": "audio/wav",
+        "avi": "video/avi",
+        "webp": "image/webp",
+        "riff": "application/riff",
         "gz": "application/gzip",
         "mp4": "video/mp4",
         "html": "text/html",

@@ -27,6 +27,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     sum landing as float64 (`99111.0`) must NOT compare equal to Spark's
     int64 `99111` (that masking was round-1 finding #2 in VERDICT.md)."""
 
+    def elem(e) -> str:
+        """Element-wise canon for list cells: floats rounded like scalar
+        floats, elements SORTED so collect_list order (nondeterministic in
+        Spark) can never flip a comparison (round-2 ADVICE)."""
+        if e is None or (not isinstance(e, (list, set, tuple)) and pd.isna(e)):
+            return "__NULL__"
+        if isinstance(e, bool):
+            return str(e)
+        if isinstance(e, float):
+            return repr(round(e, 6))
+        if isinstance(e, (list, set, tuple)) or type(e).__name__ == "ndarray":
+            return str(sorted(elem(x) for x in e))
+        return str(e)
+
     def cell(v, kind: str) -> str:
         if v is None or (not isinstance(v, (list, set, tuple)) and pd.isna(v)):
             return "__NULL__"
@@ -37,7 +51,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if kind == "b":
             return str(bool(v))
         if isinstance(v, (list, set, tuple)) or type(v).__name__ == "ndarray":
-            return str([str(e) for e in v])
+            return str(sorted(elem(e) for e in v))
         return str(v)
 
     df = df.reindex(sorted(df.columns), axis=1).copy()
