@@ -27,10 +27,10 @@ class Stage:
     name: str
     fn: Callable[[DataFrame], DataFrame]
     params: dict[str, Any] = field(default_factory=dict)
-    # flag column to snapshot accounting for (the reference's per-stage
+    # flag column(s) to snapshot accounting for (the reference's per-stage
     # count_failing reports, shared/variant_qc.py:638-723); only written
     # when the stage materializes
-    account_flags: str | None = None
+    account_flags: str | tuple[str, ...] | None = None
     # materialize=False chains this stage lazily into the next checkpoint —
     # the reference checkpoints after EVERY step and flags the cost
     # ("constant checkpointing is expensive", variant_qc.py:783-784); here
@@ -52,6 +52,15 @@ class Pipeline:
         self.store = store
         self.results: list[StageResult] = []
 
+    def _next_checkpoint_resumes(self, i: int, force_idx: int) -> bool:
+        """True iff the next materialized stage at/after ``i`` will read its
+        checkpoint back (exists and not forced stale by ``from_stage``) —
+        in which case every lazy stage in between is discarded work."""
+        for j in range(i, len(self.stages)):
+            if self.stages[j].materialize:
+                return j < force_idx and self.store.exists(self.stages[j].name)
+        return False
+
     def run(self, df: DataFrame, from_stage: str | None = None) -> DataFrame:
         """Run all stages; any stage whose checkpoint exists is read back
         instead of recomputed (cold run ≡ resumed run, FIXTURES.md §7.4).
@@ -61,18 +70,28 @@ class Pipeline:
         reference's "rerun from step N" knob), while stages before it still
         resume from their checkpoints as usual.
         """
-        if from_stage is not None and from_stage not in {s.name for s in self.stages}:
+        names = [s.name for s in self.stages]
+        if from_stage is not None and from_stage not in names:
             raise ValueError(f"unknown stage {from_stage!r}")
+        force_idx = names.index(from_stage) if from_stage is not None else len(names)
         prev_name = None
         force = False
         pending_params: dict[str, Any] = {}
-        for st in self.stages:
-            if from_stage is not None and st.name == from_stage:
+        for i, st in enumerate(self.stages):
+            if i >= force_idx:
                 force = True
             t0 = time.monotonic()
             if st.materialize and not force and self.store.exists(st.name):
                 df = self.store.read(st.name)
                 pending_params = {}
+                self.results.append(
+                    StageResult(st.name, True, time.monotonic() - t0, None)
+                )
+            elif not st.materialize and self._next_checkpoint_resumes(i, force_idx):
+                # a lazy stage feeding a checkpoint that will be read back is
+                # a guaranteed no-op — skip fn entirely (stage functions may
+                # fire driver-side jobs at build time, e.g. the iterative
+                # outlier loop's per-round stats)
                 self.results.append(
                     StageResult(st.name, True, time.monotonic() - t0, None)
                 )
@@ -91,12 +110,20 @@ class Pipeline:
                         count_rows=is_last,
                     )
                     pending_params = {}
-                    if st.account_flags and st.account_flags in df.columns:
-                        acct = flag_count_df(df, st.account_flags)
+                    acct_cols = (
+                        (st.account_flags,)
+                        if isinstance(st.account_flags, str)
+                        else (st.account_flags or ())
+                    )
+                    for ac_i, ac in enumerate(acct_cols):
+                        if ac not in df.columns:
+                            continue
+                        acct = flag_count_df(df, ac)
+                        suffix = "" if ac_i == 0 else f"_{ac}"
                         self.store.write(
                             acct,
-                            f"{st.name}__flag_counts",
-                            params={"of": st.name},
+                            f"{st.name}__flag_counts{suffix}",
+                            params={"of": st.name, "column": ac},
                             parent=st.name,
                             count_rows=False,
                         )

@@ -13,8 +13,18 @@ materialization):
   S4 exact_dedup   sha2 content groups → exact_duplicate flags           [lazy]
   S9 scoring       fused langid+perplexity UDF → mismatch/ppl flags
                    + strict thresholds → final_failing_qc               [ckpt]
+  S6 iter_outliers iterative global mean±kσ trim on the metric columns   [lazy]
+  S10 segment_qc   per-language-segment stopword-density outliers        [lazy]
   S8 host_qc       per-host batch-stratified outlier flags               [lazy]
   S11 verdict      keep = all flag arrays empty; scrub keepers          [ckpt]
+
+S6/S10 complete the reference's 11-step map (round-2 VERDICT #1): the
+iterative PCA-outlier stage (``shared/samples_qc.py:131-257``, run on
+every invocation at ``exome_qc/exome_qc.py:293-333`` step 6) and the
+phenotype-stratified QC (``shared/variant_qc.py:902-981``, step 10).
+Both read the s9 checkpoint column-pruned: S6's loop aggregates a
+measures-only projection (never the text), S10 is one tiny groupBy over
+the language segment broadcast back.
 
 Every stage preserves row count and the url key set (README.md:51-53
 invariant); every stage writes a resumable checkpoint with manifest
@@ -39,8 +49,10 @@ from ..operators.hard_filters import (
 )
 from ..operators.ingest import ingest_pages
 from ..operators.langid import flag_lang_mismatch, with_langid_expr
+from ..operators.outliers import OUTLIER_MEASURES, flag_iterative_outliers
 from ..operators.perplexity import flag_high_perplexity, with_perplexity, with_text_scores
 from ..operators.host_qc import flag_host_outliers
+from ..operators.segment_qc import flag_segment_outliers
 from ..operators.scrub import apply_scrub, with_pii_hits
 from ..operators.verdict import with_verdict
 from ..sources.checkpoint import CheckpointStore
@@ -62,6 +74,10 @@ def build_quality_pipeline(
     use_udf_langid: bool = True,
     keep_html: bool = False,
     checkpoint_all: bool = False,
+    outlier_k_sigma: float = 4.0,
+    outlier_max_iter: int = 3,
+    segment_k_sigma: float = 4.0,
+    segment_min_n: int = 20,
 ) -> Pipeline:
     """Stage order puts the near-dup stage right after the ingest snapshot so
     its sketch job reads the checkpoint directly (column-pruned to url/text)
@@ -148,6 +164,31 @@ def build_quality_pipeline(
             account_flags="final_failing_qc",
         ),
         Stage(
+            "s6_iterative_outliers",
+            lambda df: flag_iterative_outliers(
+                df, k_sigma=outlier_k_sigma, max_iter=outlier_max_iter
+            ),
+            {
+                "measures": list(OUTLIER_MEASURES),
+                "k_sigma": outlier_k_sigma,
+                "max_iter": outlier_max_iter,
+            },
+            materialize=mat,
+        ),
+        Stage(
+            "s10_segment_qc",
+            lambda df: flag_segment_outliers(
+                df, k_sigma=segment_k_sigma, min_segment_n=segment_min_n
+            ),
+            {
+                "segment_col": "lang_id",
+                "measure": "stopword_density",
+                "k_sigma": segment_k_sigma,
+                "min_segment_n": segment_min_n,
+            },
+            materialize=mat,
+        ),
+        Stage(
             "s8_host_qc",
             # batch-stratified when host metadata supplied the crawl_batch
             # column at s1 — the reference's per-batch sample-QC strata
@@ -165,7 +206,9 @@ def build_quality_pipeline(
             "s11_verdict",
             lambda df: apply_scrub(with_pii_hits(with_verdict(df))),
             {},
-            account_flags="low_pass_failing_qc",
+            # final accounting covers BOTH flag arrays so the S6/S10/S8
+            # final_failing_qc tags show up in the terminal report
+            account_flags=("low_pass_failing_qc", "final_failing_qc"),
         ),
     ]
     return Pipeline(stages, store)

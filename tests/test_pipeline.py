@@ -85,6 +85,43 @@ def test_scrubbed_keepers_have_no_pii(pipeline_out):
     assert hits == 0
 
 
+def test_s6_s10_stages_wired(pipeline_out):
+    # round-2 VERDICT #1: the SURVEY §7.1 map is complete — S6 iterative
+    # outliers and S10 segment QC run on every pipeline invocation
+    names = [s.name for s in pipeline_out["pipe"].stages]
+    i9 = names.index("s9_scoring")
+    assert names[i9 + 1 : i9 + 3] == ["s6_iterative_outliers", "s10_segment_qc"]
+
+
+def test_s6_s10_flags_reach_final_accounting(spark, pages):
+    # aggressive thresholds so both new stages actually fire on the synth
+    # fixture; their tags must land in final_failing_qc AND in the terminal
+    # flag-count accounting checkpoint
+    root = tempfile.mkdtemp(prefix="ckpt_s6s10_")
+    try:
+        store = CheckpointStore(spark, root)
+        pipe = build_quality_pipeline(
+            store, outlier_k_sigma=1.0, outlier_max_iter=2,
+            segment_k_sigma=1.0, segment_min_n=5,
+        )
+        out = pipe.run(pages)
+        fired = {
+            r["flag"]
+            for r in out.select(F.explode("final_failing_qc").alias("flag"))
+            .distinct()
+            .collect()
+        }
+        assert "metric_outlier" in fired
+        assert "segment_outlier" in fired
+        acct = store.read("s11_verdict__flag_counts_final_failing_qc")
+        acct_flags = {r["flag"] for r in acct.collect()}
+        assert {"metric_outlier", "segment_outlier"} <= acct_flags
+        # annotate-don't-drop still holds through the new stages
+        assert out.count() == pages.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_from_stage_forces_recompute(pipeline_out):
     # round-1 ADVICE: from_stage was dead code; now stages before it resume
     # from checkpoints, stages at/after it are recomputed as stale
