@@ -1304,8 +1304,74 @@ FROM h
 """
 
 
+# ------------------------------------------- round-3 oracle additions
+
+
+def _ivf_centroids() -> list[tuple[int, list[float]]]:
+    """Four fixed 64-d centroids with exact binary-fraction coordinates
+    (float→double conversion exact in both engines)."""
+    return [
+        (j, [(((i + j) % 5) - 2) / 4.0 for i in range(64)]) for j in range(1, 5)
+    ]
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path (assign → probe → top-k) with FIXED literal centroids so
+    the whole plan is deterministic and SQL-mirrorable (round-2 VERDICT #5);
+    the k-means-lite *training* determinism is pinned in
+    tests/test_similarity.py."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        _ivf_centroids(), "centroid_id long, centroid array<double>"
+    )
+    out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 5), cents, k=3, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def _ivf_topk_sql() -> str:
+    vals = ",\n  ".join(
+        f"({cid}, {vec!r}::DOUBLE[])" for cid, vec in _ivf_centroids()
+    )
+    return f"""
+WITH cent(cid, cv) AS (VALUES
+  {vals}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+asn AS (
+  SELECT vec_id, ev, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_cosine_similarity(ev, cv) DESC, cid) AS rn
+  FROM c CROSS JOIN cent
+),
+corp AS (SELECT vec_id, ev, cid FROM asn WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+qp AS (
+  SELECT query_id, qv, cid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS prn
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT query_id, qv, cid FROM qp WHERE prn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qv, a.ev) AS cosine
+  FROM probes p JOIN corp a USING (cid)
+  WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM r WHERE rank <= 3
+"""
+
+
 QUERIES.update(
     {
+        "ivf_topk": (q_ivf_topk, _ivf_topk_sql()),
         "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
         "cube_counts": (q_cube_counts, _Q_CUBE_SQL),
         "sample_rows": (q_sample_rows, _Q_SAMPLE_SQL),

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.arrays import cosine_expr, dot_expr
 
@@ -132,6 +133,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     cent_id: str = "centroid_id",
     cent_vec: str = "centroid",
+    max_inline: int = 50_000,
 ) -> DataFrame:
     """Assign each row to its max-cosine centroid, ROW-LOCALLY.
 
@@ -141,35 +143,77 @@ def ivf_assign(
     embedding array and (b) silently DROPPED duplicate rows (two identical
     rows share one window partition; rn=2 was filtered out).
 
-    The centroid table is bounded-small by construction (``n_centroids``
-    parameter — the k-means model, like an MLlib model object), so it is
-    collected once and inlined as a literal array of (id, vector) structs;
-    the argmax is then a single codegen'd projection per row: zero
-    shuffle, zero window, every input row preserved. Ties break to the
-    smallest centroid id (matching the old ``orderBy(sim desc, id asc)``).
+    The centroid table is the k-means model (bounded-small, like an MLlib
+    model object): it is collected once on the driver. Two row-local
+    physical strategies, picked by model size (round-2 ADVICE: inlining
+    O(n_centroids × dim) literal expression nodes blows up plan
+    serialization and falls out of whole-stage codegen past the 64 KB
+    method limit for realistic nlist):
+
+    * ``n_centroids·dim ≤ max_inline`` — literals inlined as an array of
+      (id, vector) structs; argmax is one codegen'd projection per row:
+      zero shuffle, zero window, zero Python.
+    * larger models — Arrow-batched ``mapInPandas`` with one normalized
+      matrix multiply per batch against the broadcast-by-closure centroid
+      matrix (same pattern as :func:`cosine_topk_brute_np`); still
+      row-local with no Exchange/Window.
+
+    Both paths break ties to the smallest centroid id; rows whose vector
+    is NULL or zero-norm assign to the smallest id (all similarities
+    degenerate-equal), identically in both paths.
     """
     rows = centroids.select(cent_id, cent_vec).collect()  # tiny: the model
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(r[cent_id])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[cent_vec]]).alias("cv"),
-            )
-            for r in rows
-        ]
-    )
-    # argmax via array_max over (sim, -cid): max sim wins; on a sim tie the
-    # larger -cid (= smaller cid) wins.
-    best = F.array_max(
-        F.transform(
-            cents,
-            lambda c: F.struct(
-                cosine_expr(F.col(vec_col), c["cv"]).alias("sim"),
-                (-c["cid"]).alias("ncid"),
-            ),
+    dim = len(rows[0][cent_vec]) if rows else 0
+    if len(rows) * dim <= max_inline:
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r[cent_id])).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r[cent_vec]]).alias("cv"),
+                )
+                for r in rows
+            ]
         )
-    )
-    return df.withColumn(cent_id, (-best["ncid"]).cast("long"))
+        # argmax via array_max over (sim, -cid): max sim wins; on a sim tie
+        # the larger -cid (= smaller cid) wins. NULL sims (zero-norm) lose
+        # to any non-null, and an all-NULL row falls back to smallest cid.
+        best = F.array_max(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    cosine_expr(F.col(vec_col), c["cv"]).alias("sim"),
+                    (-c["cid"]).alias("ncid"),
+                ),
+            )
+        )
+        return df.withColumn(cent_id, (-best["ncid"]).cast("long"))
+
+    order = np.argsort(np.array([int(r[cent_id]) for r in rows]), kind="stable")
+    cids = np.array([int(rows[i][cent_id]) for i in order], dtype=np.int64)
+    Cm = np.array([list(rows[i][cent_vec]) for i in order], dtype=np.float64)
+    Cn = Cm / np.maximum(np.linalg.norm(Cm, axis=1, keepdims=True), 1e-300)
+    # copy the fields — StructType.add would mutate the DataFrame's CACHED
+    # schema object, making df.columns lie about the pre-assign plan
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(cent_id, T.LongType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[cent_id] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            ok = pdf[vec_col].map(lambda v: v is not None)
+            V = np.array(
+                [list(v) if o else [0.0] * Cm.shape[1] for v, o in zip(pdf[vec_col], ok)],
+                dtype=np.float64,
+            )
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            # argmax takes the FIRST max; cids is sorted → smallest id wins ties
+            pdf[cent_id] = cids[np.argmax(Vn @ Cn.T, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)
 
 
 def train_centroids_lite(

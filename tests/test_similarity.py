@@ -108,6 +108,31 @@ def test_ivf_assign_no_shuffle_no_window(spark):
     assert "Exchange" not in plan and "Window" not in plan
 
 
+def test_ivf_assign_pandas_path_matches_inline(spark):
+    # round-2 ADVICE: big models use a mapInPandas matmul argmax instead of
+    # O(n_centroids×dim) inlined literals — both paths must agree, including
+    # ties (smallest cid) and degenerate (zero-norm / NULL) vectors
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.5, 0.5, 0.0, 0.0]),  # exact tie between centroids 1 and 2
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (4, None),  # NULL vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(2, [0.0, 1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    inline = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+    pand = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(df, cents, max_inline=1).collect()
+    }
+    assert inline == pand
+    assert inline[2] == 1 and inline[3] == 1 and inline[4] == 1  # smallest-cid ties
+
+
 def test_hyperplane_lsh_finds_near_pair(spark):
     pairs = embedding_near_dup_pairs(_vecs(spark), n_planes=8, min_cosine=0.95)
     got = {(r["a"], r["b"]) for r in pairs.collect()}

@@ -79,6 +79,93 @@ def test_stateful_host_counters_accumulate_across_batches(spark, pages):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_stateful_counters_survive_query_restart(spark, pages):
+    """Stop/restart with the same checkpointLocation: per-host state must be
+    recovered from the state store, not rebuilt from zero — the property a
+    100 TB resumable ingest relies on (round-2 VERDICT #8)."""
+    import pyspark.sql.functions as F
+
+    from exome_qc_library_spark.functions.urltools import with_host
+    from exome_qc_library_spark.operators.hard_filters import LOW_PASS, apply_hard_filters
+    from exome_qc_library_spark.operators.ingest import ingest_pages
+    from exome_qc_library_spark.streaming.stream import (
+        stream_pages,
+        streaming_host_counters,
+    )
+    from exome_qc_library_spark.synth import PAGES_SCHEMA
+
+    src = tempfile.mkdtemp(prefix="stream_restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_restart_ckpt_")
+    try:
+        all_pages = pages.limit(120).cache()
+        t1 = all_pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+        t2 = all_pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+        def flagged(df):
+            return with_host(
+                apply_hard_filters(ingest_pages(df), "low_pass_failing_qc", LOW_PASS)
+            )
+
+        def run_once():
+            # memory sink cannot recover from a checkpoint — foreachBatch is
+            # the restartable sink shape a real deployment uses
+            emitted = []
+
+            def sink(batch_df, _bid):
+                emitted.extend(batch_df.collect())
+
+            q = (
+                streaming_host_counters(
+                    flagged(stream_pages(spark, src, max_files_per_trigger=1))
+                )
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return emitted
+
+        t1.repartition(2).write.mode("overwrite").parquet(src)
+        run_once()
+        # second tranche lands AFTER the first query stopped
+        t2.repartition(2).write.mode("append").parquet(src)
+        run2 = run_once()
+
+        got: dict = {}
+        for r in run2:  # keep the LAST emission per host (max counters)
+            cur = got.get(r["host"], (0, 0))
+            got[r["host"]] = (max(cur[0], r["n_docs"]), max(cur[1], r["n_flagged"]))
+        want_all = {
+            r["host"]: (r["n"], r["f"])
+            for r in flagged(spark.read.schema(PAGES_SCHEMA).parquet(src))
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.size("low_pass_failing_qc") > 0).alias("f"),
+            )
+            .collect()
+        }
+        want_t2_only = {
+            r["host"]: r["n"]
+            for r in flagged(t2).groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # run 2 emits only tranche-2 hosts, but each with counters folded
+        # over BOTH tranches — equal to the full batch aggregation
+        assert got, "second run emitted nothing"
+        for host, (n_docs, n_flagged) in got.items():
+            assert (n_docs, n_flagged) == want_all[host]
+        # at least one host spans both tranches, proving state was recovered
+        # (n_docs strictly exceeds its tranche-2-only count)
+        assert any(got[h][0] > want_t2_only.get(h, 0) for h in got)
+        all_pages.unpersist()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_streaming_matches_batch_flags(spark, pages):
     """The same stage functions run in batch — flag totals must agree."""
     import pyspark.sql.functions as F
