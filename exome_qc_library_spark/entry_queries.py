@@ -1369,9 +1369,72 @@ SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM r WHERE rank
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing a word n-gram with the eval
+    set (here: every 97th doc) are flagged. Runs the REAL operator in its
+    string-join form (``hashed=False``); the xxhash64 production path is
+    pinned equal in tests/test_decontaminate_sampling.py."""
+    from .operators.decontaminate import flag_contaminated
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = flag_contaminated(
+        docs, bench, key_col="doc_id", n=3, hashed=False, flag_col="decon_flags"
+    )
+    return out.select(
+        "doc_id", F.array_contains("decon_flags", "contaminated").alias("contaminated")
+    )
+
+
+_Q_DECON_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END) AS sh
+  FROM w
+),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+dg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bench USING (g))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sampling (domain/language mixing):
+    hash-gated like ``sample_rows`` but with a per-stratum threshold."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.30, "de": 0.10}, key_col="doc_id",
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    from .operators.sampling import stratified_sample_sql_gate
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {stratified_sample_sql_gate("doc_id")} <
+      CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1000 ELSE 500 END
+"""
+
+
 QUERIES.update(
     {
         "ivf_topk": (q_ivf_topk, _ivf_topk_sql()),
+        "decontaminate": (q_decontaminate, _Q_DECON_SQL),
+        "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
         "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
         "cube_counts": (q_cube_counts, _Q_CUBE_SQL),
         "sample_rows": (q_sample_rows, _Q_SAMPLE_SQL),

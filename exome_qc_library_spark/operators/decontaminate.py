@@ -1,0 +1,91 @@
+"""Benchmark decontamination — flag training docs overlapping an eval set.
+
+A first-class training-data-pipeline operator (task brief §additions):
+any document sharing a word n-gram with a benchmark/eval corpus is
+flagged so the final keep/drop verdict excludes it — the standard
+n-gram-overlap decontamination rule used for LLM pretraining corpora.
+
+Reference analog: the blocklist anti-join stage (step 2,
+``/root/reference/exome_qc/exome_qc.py:119-161``) — membership of a
+curated removal set decided by a key join — except the "key" here is
+every n-gram of the document, so the operator is explode → join →
+distinct-keys, not a row-key lookup.
+
+Scale shape (10^12 docs vs a benchmark of 10^4–10^6 grams):
+* the benchmark gram set is built once, deduplicated, and **broadcast**
+  — the exploded doc-gram stream joins map-side, so the full gram stream
+  never shuffles;
+* only the (rare) HIT keys are shuffled (distinct) and broadcast back
+  onto the docs table — two tiny shuffles total, doc table never moves;
+* ``hashed=True`` (production default) joins on ``xxhash64(gram)``
+  instead of the gram string: 8 bytes/gram through the join regardless
+  of n. ``hashed=False`` keeps raw strings — the DuckDB-mirrorable form
+  used by the ``decontaminate`` oracle query; the two paths are pinned
+  equal in tests/test_decontaminate_sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.flags import add_flags
+from ..functions.hashing import word_shingles
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Distinct n-gram set of the benchmark corpus (the broadcast side)."""
+    grams = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram")
+    )
+    if hashed:
+        grams = grams.select(F.xxhash64("__gram").alias("__gram"))
+    return grams.distinct()
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    hashed: bool = True,
+    broadcast_bench: bool = True,
+    flag_col: str = "final_failing_qc",
+    tag: str = "contaminated",
+) -> DataFrame:
+    """Append ``tag`` to ``flag_col`` for every doc sharing an n-gram with
+    the benchmark. Row count and key set preserved (annotate-don't-drop).
+
+    ``broadcast_bench=False`` falls back to a shuffle join for benchmark
+    sets too big to broadcast (then the gram stream shuffles on the gram
+    key — uniform by construction, no hot keys).
+    """
+    bench = benchmark_ngrams(benchmark, bench_text_col, n, hashed)
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    doc_grams = docs.select(
+        F.col(key_col).alias("__k"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+    )
+    if hashed:
+        doc_grams = doc_grams.select("__k", F.xxhash64("__gram").alias("__gram"))
+    hits = (
+        doc_grams.join(bench, "__gram")
+        .select("__k")
+        .distinct()
+        .withColumn("__contaminated", F.lit(True))
+    )
+    out = docs.join(
+        F.broadcast(hits), docs[key_col] == hits["__k"], "left"
+    ).drop("__k")
+    out = add_flags(
+        out, flag_col, {tag: F.coalesce(F.col("__contaminated"), F.lit(False))}
+    )
+    return out.drop("__contaminated")

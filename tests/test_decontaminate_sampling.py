@@ -1,0 +1,102 @@
+"""Training-data curation operators: benchmark decontamination (n-gram
+overlap) and deterministic stratified quota sampling."""
+
+import pyspark.sql.functions as F
+
+from exome_qc_library_spark.operators.decontaminate import flag_contaminated
+from exome_qc_library_spark.operators.sampling import (
+    _BPS,
+    _KNUTH,
+    _MASK31,
+    stratified_sample,
+)
+
+
+def _corpus(spark):
+    secret = "the leaked benchmark answer is forty two exactly"
+    rows = [
+        ("d1", "a perfectly ordinary clean training document about spark engines"),
+        ("d2", f"some page that quotes {secret} inside a longer paragraph"),
+        ("d3", secret),  # verbatim benchmark doc
+        ("d4", None),
+        ("d5", "short doc"),
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [("b1", "the leaked benchmark answer is forty two exactly")],
+        "bid string, text string",
+    )
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    out = flag_contaminated(_corpus(spark), _bench(spark), n=5, flag_col="ff")
+    flags = {r["url"]: "contaminated" in r["ff"] for r in out.collect()}
+    assert flags == {"d1": False, "d2": True, "d3": True, "d4": False, "d5": False}
+    assert out.count() == 5  # annotate-don't-drop
+
+
+def test_decontaminate_hashed_matches_string_join(spark):
+    # production path joins on xxhash64(gram); must agree with the
+    # oracle-mirrorable string-join form
+    a = {
+        r["url"]: r["ff"]
+        for r in flag_contaminated(
+            _corpus(spark), _bench(spark), n=4, hashed=True, flag_col="ff"
+        ).collect()
+    }
+    b = {
+        r["url"]: r["ff"]
+        for r in flag_contaminated(
+            _corpus(spark), _bench(spark), n=4, hashed=False, flag_col="ff"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_decontaminate_no_cartesian(spark):
+    plan = (
+        flag_contaminated(_corpus(spark), _bench(spark), n=5, flag_col="ff")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join Cross" not in plan and "CartesianProduct" not in plan
+
+
+def _gate(key: int) -> int:
+    return (((key & _MASK31) * _KNUTH) >> 16) % _BPS
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    rows = [(i, ["en", "de", "fr", None][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "de": 0.2}
+    got = {r["doc_id"] for r in stratified_sample(df, "lang", fr, default_fraction=0.1).collect()}
+    want = set()
+    for i, lang in rows:
+        thr = int(fr.get(lang, 0.1) * _BPS)
+        if _gate(i) < thr:
+            want.add(i)
+    assert got == want  # exact, not approximate: the gate is deterministic
+    # repeated evaluation identical (no RNG stream)
+    again = {r["doc_id"] for r in stratified_sample(df, "lang", fr, default_fraction=0.1).collect()}
+    assert again == got
+
+
+def test_stratified_sample_rates_roughly_hit_quota(spark):
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    n = stratified_sample(df, "lang", {"en": 0.25}).count()
+    assert abs(n / 20000 - 0.25) < 0.02
+
+
+def test_stratified_sample_zero_default_drops_unlisted(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, None)], "doc_id long, lang string"
+    )
+    kept = {r["lang"] for r in stratified_sample(df, "lang", {"en": 1.0}).collect()}
+    assert kept <= {"en"}
