@@ -8,6 +8,7 @@ materialization):
   S0 ingest        html → extracted text (byte-identical), lineage cols  [ckpt]
   S1 enrich        host-metadata broadcast join + spam flags   [optional, lazy]
   S2 blocklist     url/host anti-list + substring flags        [optional, lazy]
+  S2b decontaminate benchmark n-gram overlap flags             [optional, lazy]
   S5 near_dedup    MinHash-LSH → clusters → near_duplicate flags        [ckpt]
   S3 hard_filters  Gopher/C4 heuristics → low_pass_failing_qc            [lazy]
   S4 exact_dedup   sha2 content groups → exact_duplicate flags           [lazy]
@@ -78,6 +79,8 @@ def build_quality_pipeline(
     outlier_max_iter: int = 3,
     segment_k_sigma: float = 4.0,
     segment_min_n: int = 20,
+    decontamination_benchmark: DataFrame | None = None,
+    decontamination_ngram: int = 8,
 ) -> Pipeline:
     """Stage order puts the near-dup stage right after the ingest snapshot so
     its sketch job reads the checkpoint directly (column-pruned to url/text)
@@ -122,6 +125,19 @@ def build_quality_pipeline(
 
         stages.append(
             Stage("s2_blocklist", _blk, {"substrings": list(url_substrings)}, materialize=mat)
+        )
+    if decontamination_benchmark is not None:
+        from ..operators.decontaminate import flag_contaminated
+
+        stages.append(
+            Stage(
+                "s2b_decontaminate",
+                lambda df: flag_contaminated(
+                    df, decontamination_benchmark, n=decontamination_ngram
+                ),
+                {"n": decontamination_ngram},
+                materialize=mat,
+            )
         )
 
     stages += [

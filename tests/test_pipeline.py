@@ -122,6 +122,31 @@ def test_s6_s10_flags_reach_final_accounting(spark, pages):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_decontamination_stage_optional(spark, pages):
+    # with a benchmark supplied, s2b flags overlapping docs; row count and
+    # verdict conjunction still hold
+    root = tempfile.mkdtemp(prefix="ckpt_decon_")
+    try:
+        bench = pages.limit(3).select("text")
+        store = CheckpointStore(spark, root)
+        pipe = build_quality_pipeline(
+            store, decontamination_benchmark=bench, decontamination_ngram=5
+        )
+        assert "s2b_decontaminate" in [s.name for s in pipe.stages]
+        out = pipe.run(pages)
+        assert out.count() == pages.count()
+        n_contaminated = out.filter(
+            F.array_contains("final_failing_qc", "contaminated")
+        ).count()
+        assert n_contaminated >= 3  # at least the benchmark's own source docs
+        bad = out.filter(
+            F.col("keep") & F.array_contains("final_failing_qc", "contaminated")
+        ).count()
+        assert bad == 0  # contaminated docs never kept
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_from_stage_forces_recompute(pipeline_out):
     # round-1 ADVICE: from_stage was dead code; now stages before it resume
     # from checkpoints, stages at/after it are recomputed as stale
