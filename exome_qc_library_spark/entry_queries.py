@@ -1408,6 +1408,44 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_cross_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-line (boilerplate) stats: distinct eligible
+    lines per doc and how many appear in ≥2 docs. String-join form
+    (``hashed=False``); the xxhash64 production path is pinned equal in
+    tests/test_dedup.py."""
+    from .operators.dedup import cross_doc_dup_line_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    st = cross_doc_dup_line_stats(
+        docs, key_col="doc_id", min_line_chars=10, hashed=False
+    )
+    out = docs.select("doc_id").join(st, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )
+
+
+_Q_CROSS_LINES_SQL = """
+WITH l AS (
+  SELECT doc_id, trim(lower(unnest(regexp_split_to_array(text, '\\n')))) AS line
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (SELECT DISTINCT doc_id, line FROM l WHERE length(line) >= 10),
+fr AS (SELECT line, count(*) AS nd FROM f GROUP BY line),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_shared
+  FROM f JOIN fr USING (line) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_lines, 0) AS n_lines,
+       coalesce(pd.n_shared, 0) AS n_shared
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum quota sampling (domain/language mixing):
     hash-gated like ``sample_rows`` but with a per-stratum threshold."""
@@ -1435,6 +1473,7 @@ QUERIES.update(
         "ivf_topk": (q_ivf_topk, _ivf_topk_sql()),
         "decontaminate": (q_decontaminate, _Q_DECON_SQL),
         "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
+        "cross_doc_lines": (q_cross_doc_lines, _Q_CROSS_LINES_SQL),
         "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
         "cube_counts": (q_cube_counts, _Q_CUBE_SQL),
         "sample_rows": (q_sample_rows, _Q_SAMPLE_SQL),

@@ -449,6 +449,87 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------- cross-document duplicate lines
+
+
+def cross_doc_dup_line_stats(
+    docs: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    min_line_chars: int = 10,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-doc (n_lines, n_shared): how many of the doc's distinct eligible
+    lines also appear in at least one OTHER document — the cross-corpus
+    boilerplate signal (nav bars, cookie banners, footers) that the
+    within-doc ``dup_line_frac`` metric cannot see.
+
+    Scale shape (the whole point — no all-pairs anything):
+    * explode → normalize → length-filter is row-local;
+    * ``dropDuplicates(key, line)`` shuffles on the uniform (key, line)
+      pair — a hot boilerplate line is spread across its docs' keys, so
+      no reducer sees the full hot line;
+    * line frequency is a ``groupBy(line).count()`` with map-side partial
+      aggregation — the hot line arrives at its reducer as a handful of
+      partial counts, not 10⁹ rows;
+    * the shared-line set joins back 1-row-per-(doc,line) — no fan-out;
+      AQE handles residual partition skew.
+
+    ``hashed=True`` (production) carries ``xxhash64(line)`` (8 bytes)
+    through the shuffles instead of the line text; ``hashed=False`` is
+    the DuckDB-mirrorable form (oracle query ``cross_doc_lines``), pinned
+    equal in tests.
+    """
+    lines = (
+        docs.select(
+            F.col(key_col).alias("__k"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("__raw"),
+        )
+        .select("__k", F.trim(F.lower(F.col("__raw"))).alias("__line"))
+        .filter(F.length("__line") >= min_line_chars)
+    )
+    if hashed:
+        lines = lines.select("__k", F.xxhash64("__line").alias("__line"))
+    pairs = lines.dropDuplicates(["__k", "__line"])
+    shared = (
+        pairs.groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("__line", F.lit(True).alias("__shared"))
+    )
+    return (
+        pairs.join(shared, "__line", "left")
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.coalesce(F.col("__shared"), F.lit(False))).alias("n_shared"),
+        )
+        .withColumnRenamed("__k", key_col)
+    )
+
+
+def flag_cross_doc_dup_lines(
+    docs: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    max_shared_frac: float = 0.6,
+    min_line_chars: int = 10,
+    hashed: bool = True,
+    flag_col: str = "low_pass_failing_qc",
+    tag: str = "cross_doc_dup_lines",
+) -> DataFrame:
+    """Flag docs whose shared-line fraction exceeds ``max_shared_frac``.
+    Row count and key set preserved (annotate-don't-drop); the comparison
+    is ``n_shared > frac · n_lines`` (no division — exact in both
+    engines)."""
+    st = cross_doc_dup_line_stats(docs, key_col, text_col, min_line_chars, hashed)
+    out = docs.join(st, key_col, "left")
+    pred = F.coalesce(
+        F.col("n_shared") > F.lit(max_shared_frac) * F.col("n_lines"), F.lit(False)
+    )
+    return add_flags(out, flag_col, {tag: pred}).drop("n_lines", "n_shared")
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 

@@ -189,6 +189,50 @@ def test_with_simhash_roundtrip(spark):
     assert vals["u5"] is None
 
 
+def _boiler_docs(spark):
+    footer = "copyright example corp all rights reserved worldwide"
+    nav = "home products pricing about contact careers blog"
+    rows = [
+        ("b1", f"{footer}\n{nav}\nunique text about owls and trees here"),
+        ("b2", f"{footer}\n{nav}\ndifferent unique text about rivers"),
+        ("b3", f"{footer}\n{nav}"),  # pure boilerplate → flagged
+        ("b4", "entirely original essay with no shared lines whatsoever"),
+        ("b5", None),
+        ("b6", "tiny\nok"),  # every line below min_line_chars → no stats
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_cross_doc_dup_line_flagging(spark):
+    from exome_qc_library_spark.operators.dedup import flag_cross_doc_dup_lines
+
+    out = flag_cross_doc_dup_lines(_boiler_docs(spark), max_shared_frac=0.7)
+    flags = {
+        r["url"]: "cross_doc_dup_lines" in r["low_pass_failing_qc"]
+        for r in out.collect()
+    }
+    # b3: 2/2 shared (1.0 > 0.7) flagged; b1/b2: 2/3 shared (0.67 < 0.7) not
+    assert flags == {
+        "b1": False, "b2": False, "b3": True, "b4": False, "b5": False, "b6": False,
+    }
+    assert out.count() == 6  # annotate-don't-drop
+
+
+def test_cross_doc_dup_lines_hashed_matches_string(spark):
+    from exome_qc_library_spark.operators.dedup import cross_doc_dup_line_stats
+
+    a = {
+        r["url"]: (r["n_lines"], r["n_shared"])
+        for r in cross_doc_dup_line_stats(_boiler_docs(spark), hashed=True).collect()
+    }
+    b = {
+        r["url"]: (r["n_lines"], r["n_shared"])
+        for r in cross_doc_dup_line_stats(_boiler_docs(spark), hashed=False).collect()
+    }
+    assert a == b
+    assert a["b3"] == (2, 2) and a["b4"] == (1, 0)
+
+
 def test_exact_jaccard_unblocked_requires_opt_in(spark):
     import pytest
 
