@@ -1468,9 +1468,36 @@ WHERE {stratified_sample_sql_gate("doc_id")} <
 """
 
 
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quota cap (docs-per-domain limiting): keep the first 30 docs
+    per source by doc_id, flag the rest — runs the skew-aware two-phase
+    salted top-N (exactness vs the naive window is pinned in
+    tests/test_decontaminate_sampling.py)."""
+    from .operators.sampling import flag_over_key_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = flag_over_key_cap(
+        docs, key_col="source", max_rows=30, order_cols=(), id_col="doc_id",
+        flag_col="cap_flags",
+    )
+    return out.select(
+        "doc_id", F.array_contains("cap_flags", "over_key_cap").alias("over_cap")
+    )
+
+
+_Q_HOST_CAP_SQL = """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, (rn > 30) AS over_cap FROM r
+"""
+
+
 QUERIES.update(
     {
         "ivf_topk": (q_ivf_topk, _ivf_topk_sql()),
+        "host_cap": (q_host_cap, _Q_HOST_CAP_SQL),
         "decontaminate": (q_decontaminate, _Q_DECON_SQL),
         "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
         "cross_doc_lines": (q_cross_doc_lines, _Q_CROSS_LINES_SQL),

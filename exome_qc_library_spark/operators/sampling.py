@@ -29,6 +29,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.flags import add_flags
+
 _KNUTH = 2654435761
 _MASK31 = 2147483647
 _BPS = 10_000  # basis points: fractions quantized to 0.01% so the gate
@@ -65,3 +67,56 @@ def stratified_sample(
 def stratified_sample_sql_gate(key_expr: str = "doc_id") -> str:
     """The DuckDB-verbatim mirror of :func:`hash_gate` (oracle helper)."""
     return f"((({key_expr} & {_MASK31}) * {_KNUTH}) >> 16) % {_BPS}"
+
+
+def flag_over_key_cap(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    order_cols: tuple[str, ...],
+    id_col: str,
+    salt_buckets: int = 16,
+    flag_col: str = "low_pass_failing_qc",
+    tag: str = "over_key_cap",
+) -> DataFrame:
+    """Cap rows per key (docs per host/domain): keep the first ``max_rows``
+    by ``order_cols`` (ties broken by ``id_col`` — a total order), flag the
+    rest. Annotate-don't-drop; row count and id set preserved.
+
+    Skew-aware two-phase top-N — a domain-heavy host must NOT funnel its
+    10⁸ docs through one window partition:
+
+    1. phase 1 ranks within (key, salt-of-id): the hot key spreads over
+       ``salt_buckets`` uniform partitions, each keeping its local
+       ``max_rows`` head — the union is a superset of the global head
+       (each survivor beats ``max_rows`` rows in its own bucket, so the
+       true top-``max_rows`` always survive);
+    2. phase 2 ranks the ≤ ``salt_buckets·max_rows`` survivors per key —
+       a bounded-size window regardless of key popularity.
+
+    The kept-id set joins back onto the full table (uniform id shuffle),
+    so the wide doc rows never pass through either window. Result is
+    EXACTLY equal to the naive single-window form (pinned in tests).
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(c) for c in order_cols] + [F.col(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+    narrow = df.select(key_col, id_col, *order_cols)
+    w1 = W.partitionBy(F.col(key_col), salt).orderBy(*order)
+    survivors = (
+        narrow.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= max_rows)
+        .drop("__r1")
+    )
+    w2 = W.partitionBy(key_col).orderBy(*order)
+    kept = (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= max_rows)
+        .select(id_col)
+        .withColumn("__kept", F.lit(True))
+    )
+    out = df.join(kept, id_col, "left")
+    return add_flags(
+        out, flag_col, {tag: ~F.coalesce(F.col("__kept"), F.lit(False))}
+    ).drop("__kept")

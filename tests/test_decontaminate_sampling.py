@@ -94,6 +94,40 @@ def test_stratified_sample_rates_roughly_hit_quota(spark):
     assert abs(n / 20000 - 0.25) < 0.02
 
 
+def test_over_key_cap_matches_naive_window(spark):
+    from pyspark.sql import Window as W
+
+    from exome_qc_library_spark.operators.sampling import flag_over_key_cap
+
+    # skewed: one key with 900 rows, several small keys, ties in order col
+    rows = [(i, "big" if i < 900 else f"k{i % 7}", i % 50) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, prio long")
+    out = {
+        r["doc_id"]: "over_key_cap" in r["ff"]
+        for r in flag_over_key_cap(
+            df, "host", 25, ("prio",), "doc_id", salt_buckets=8, flag_col="ff"
+        ).collect()
+    }
+    w = W.partitionBy("host").orderBy("prio", "doc_id")
+    naive = {
+        r["doc_id"]: r["rn"] > 25
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert out == naive  # two-phase salted top-N is EXACT
+    assert sum(out.values()) == 900 - 25  # only the hot key overflows
+
+
+def test_over_key_cap_preserves_rows(spark):
+    from exome_qc_library_spark.operators.sampling import flag_over_key_cap
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "doc_id long, host string"
+    )
+    out = flag_over_key_cap(df, "host", 1, (), "doc_id", flag_col="ff")
+    got = {r["doc_id"]: "over_key_cap" in r["ff"] for r in out.collect()}
+    assert got == {1: False, 2: True, 3: False}  # NULL key is its own stratum
+
+
 def test_stratified_sample_zero_default_drops_unlisted(spark):
     df = spark.createDataFrame(
         [(1, "en"), (2, "xx"), (3, None)], "doc_id long, lang string"
