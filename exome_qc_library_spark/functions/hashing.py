@@ -22,11 +22,16 @@ from pyspark.sql import functions as F
 from .textmetrics import words_expr
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
+def word_shingles(text: Column, n: int = 3, lowercase: bool = True) -> Column:
     """Distinct word n-gram shingles of the document (array<string>).
 
     Documents shorter than ``n`` words yield a single shingle of the whole
     text so short docs still participate in dedup.
+
+    ``lowercase=False`` keeps the original case (case-sensitive matching —
+    e.g. a benchmark whose decontamination contract demands exactness,
+    round-3 VERDICT #7); the default folds case like the cross-doc-line
+    normalization.
 
     IMPLEMENTATION NOTE (scale-critical): built as a chain of shifted
     ``zip_with``s, NOT ``transform(sequence(...), i -> slice(ws, i, n))``.
@@ -35,7 +40,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     by Spark's higher-order-function interpreter, turning shingling into
     O(words²) on long documents. The zip_with chain is O(n · words).
     """
-    ws = words_expr(F.lower(text))
+    ws = words_expr(F.lower(text) if lowercase else text)
     k = F.size(ws)
     grams = ws
     for i in range(1, n):

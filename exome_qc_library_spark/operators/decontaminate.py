@@ -15,8 +15,11 @@ Scale shape (10^12 docs vs a benchmark of 10^4–10^6 grams):
 * the benchmark gram set is built once, deduplicated, and **broadcast**
   — the exploded doc-gram stream joins map-side, so the full gram stream
   never shuffles;
-* only the (rare) HIT keys are shuffled (distinct) and broadcast back
-  onto the docs table — two tiny shuffles total, doc table never moves;
+* only the (rare) HIT keys are shuffled (distinct) and joined back onto
+  the docs table on the uniform doc key — AQE broadcasts that join when
+  the hit set actually fits (the hint is opt-in via ``broadcast_hits``:
+  the hit set is data-dependent and unbounded, so forcing it would OOM
+  on a contamination-heavy corpus);
 * ``hashed=True`` (production default) joins on ``xxhash64(gram)``
   instead of the gram string: 8 bytes/gram through the join regardless
   of n. ``hashed=False`` keeps raw strings — the DuckDB-mirrorable form
@@ -38,10 +41,16 @@ def benchmark_ngrams(
     text_col: str = "text",
     n: int = 8,
     hashed: bool = True,
+    lowercase: bool = True,
 ) -> DataFrame:
-    """Distinct n-gram set of the benchmark corpus (the broadcast side)."""
+    """Distinct n-gram set of the benchmark corpus (the broadcast side).
+
+    ``lowercase=False`` matches case-sensitively (a benchmark whose
+    contract demands exactness — round-3 VERDICT #7); the default folds
+    case, the same normalization the cross-doc-line operator applies.
+    """
     grams = benchmark.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("__gram")
+        F.explode(word_shingles(F.col(text_col), n, lowercase=lowercase)).alias("__gram")
     )
     if hashed:
         grams = grams.select(F.xxhash64("__gram").alias("__gram"))
@@ -57,6 +66,8 @@ def flag_contaminated(
     n: int = 8,
     hashed: bool = True,
     broadcast_bench: bool = True,
+    broadcast_hits: bool = False,
+    lowercase: bool = True,
     flag_col: str = "final_failing_qc",
     tag: str = "contaminated",
 ) -> DataFrame:
@@ -66,13 +77,26 @@ def flag_contaminated(
     ``broadcast_bench=False`` falls back to a shuffle join for benchmark
     sets too big to broadcast (then the gram stream shuffles on the gram
     key — uniform by construction, no hot keys).
+
+    The hit-set join-back is NOT force-broadcast by default (round-3
+    VERDICT #2): the hit set is data-dependent — a benchmark containing
+    any boilerplate-ish n-gram (or a small ``n``) can contaminate
+    millions of docs, and a forced broadcast of an unbounded set is a
+    driver/executor OOM at 10^12-doc scale. The join key is the uniform
+    doc key, so AQE broadcasts exactly when the hit set actually fits;
+    ``broadcast_hits=True`` restores the hint for callers that KNOW their
+    benchmark yields a bounded hit set.
+
+    ``lowercase=False`` makes the n-gram match case-sensitive on both
+    sides (round-3 VERDICT #7); hashed and string forms are pinned equal
+    for both settings in tests/test_decontaminate_sampling.py.
     """
-    bench = benchmark_ngrams(benchmark, bench_text_col, n, hashed)
+    bench = benchmark_ngrams(benchmark, bench_text_col, n, hashed, lowercase=lowercase)
     if broadcast_bench:
         bench = F.broadcast(bench)
     doc_grams = docs.select(
         F.col(key_col).alias("__k"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__gram"),
+        F.explode(word_shingles(F.col(text_col), n, lowercase=lowercase)).alias("__gram"),
     )
     if hashed:
         doc_grams = doc_grams.select("__k", F.xxhash64("__gram").alias("__gram"))
@@ -82,9 +106,9 @@ def flag_contaminated(
         .distinct()
         .withColumn("__contaminated", F.lit(True))
     )
-    out = docs.join(
-        F.broadcast(hits), docs[key_col] == hits["__k"], "left"
-    ).drop("__k")
+    if broadcast_hits:
+        hits = F.broadcast(hits)
+    out = docs.join(hits, docs[key_col] == hits["__k"], "left").drop("__k")
     out = add_flags(
         out, flag_col, {tag: F.coalesce(F.col("__contaminated"), F.lit(False))}
     )

@@ -56,6 +56,61 @@ def test_decontaminate_hashed_matches_string_join(spark):
     assert a == b
 
 
+def test_decontaminate_broadcast_hits_gate(spark):
+    # round-3 VERDICT #2: the hit-set broadcast is opt-in (data-dependent,
+    # unbounded set — AQE decides by default); both settings must agree
+    base = {
+        r["url"]: r["ff"]
+        for r in flag_contaminated(
+            _corpus(spark), _bench(spark), n=5, flag_col="ff"
+        ).collect()
+    }
+    forced = {
+        r["url"]: r["ff"]
+        for r in flag_contaminated(
+            _corpus(spark), _bench(spark), n=5, broadcast_hits=True, flag_col="ff"
+        ).collect()
+    }
+    assert base == forced
+    # the default plan carries no broadcast HINT on the hits side: only the
+    # (gated) benchmark gram set is hinted
+    plan = (
+        flag_contaminated(_corpus(spark), _bench(spark), n=5, flag_col="ff")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert plan.count("ResolvedHint") <= 1
+
+
+def test_decontaminate_case_sensitivity_knob(spark):
+    # lowercase=True (default) folds case on both sides; lowercase=False
+    # demands byte-exact words — an upper-cased quote stops matching
+    shouted = spark.createDataFrame(
+        [("d9", "THE LEAKED BENCHMARK ANSWER IS FORTY TWO EXACTLY")],
+        "url string, text string",
+    )
+    folded = flag_contaminated(shouted, _bench(spark), n=5, flag_col="ff")
+    exact = flag_contaminated(shouted, _bench(spark), n=5, lowercase=False, flag_col="ff")
+    assert "contaminated" in folded.collect()[0]["ff"]
+    assert "contaminated" not in exact.collect()[0]["ff"]
+    # hashed ≡ string-join for BOTH normalization settings (pin the mirror)
+    for lc in (True, False):
+        a = {
+            r["url"]: r["ff"]
+            for r in flag_contaminated(
+                _corpus(spark), _bench(spark), n=4, hashed=True, lowercase=lc, flag_col="ff"
+            ).collect()
+        }
+        b = {
+            r["url"]: r["ff"]
+            for r in flag_contaminated(
+                _corpus(spark), _bench(spark), n=4, hashed=False, lowercase=lc, flag_col="ff"
+            ).collect()
+        }
+        assert a == b
+
+
 def test_decontaminate_no_cartesian(spark):
     plan = (
         flag_contaminated(_corpus(spark), _bench(spark), n=5, flag_col="ff")
