@@ -111,6 +111,11 @@ def main() -> None:
         pipeline_sec = time.monotonic() - t0
         timings["pipeline_e2e"] = round(pipeline_sec, 3)
         docs_per_sec = round(n_docs / pipeline_sec, 1)
+        # stage-level breakdown (round-3 VERDICT #6): lazy stages register
+        # ~0s here — their work lands in the next materializing stage's
+        # number, which is exactly the granularity the checkpoints run at.
+        # Makes the next noise-vs-regression call per STAGE, not per run.
+        stage_secs = {r.name: round(r.seconds, 3) for r in pipe.results}
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
@@ -123,6 +128,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_stages": stage_secs,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "pipeline_docs": n_docs,
                 "pipeline_docs_per_sec": docs_per_sec,

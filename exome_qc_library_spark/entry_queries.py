@@ -1494,9 +1494,131 @@ SELECT doc_id, (rn > 30) AS over_cap FROM r
 """
 
 
+# ------------------------------------------- round-4 oracle additions
+
+
+def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG IHDR / JPEG SOF image dimensions as pure byte expressions
+    (round-3 VERDICT #5 — no codec libs): payloads are synthesized
+    deterministically FROM doc_id (even → PNG, odd → JPEG with a
+    variable-length COM segment so the SOF marker walk actually hops),
+    then parsed back by the real header parsers in
+    ``operators.multimodal``. The DuckDB oracle constructs the identical
+    hex stream and re-parses it with fixed-offset arithmetic (PNG) and a
+    recursive-CTE marker walk (JPEG)."""
+    from .operators.multimodal import with_media_dims
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 800 + 16).cast("long")
+    h = ((F.col("doc_id") * 3) % 600 + 16).cast("long")
+    k = (F.col("doc_id") % 32).cast("int")
+
+    def hex4(c):  # big-endian uint16 as 4 uppercase hex chars
+        return F.lpad(F.hex(c), 4, "0")
+
+    def hex8(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),  # sig + len(13) + IHDR
+        hex8(w),
+        hex8(h),
+        F.lit("080600000000000000"),  # bit depth/color/... + dummy CRC
+    )
+    jpg = F.concat(
+        # SOI + APP0/JFIF (len 0x10)
+        F.lit("FFD8FFE000104A46494600010100000100010000"),
+        F.lit("FFFE"),  # COM marker, variable length → the walk must hop
+        hex4(k + F.lit(2)),
+        F.repeat(F.lit("41"), k),
+        F.lit("FFC0001108"),  # SOF0, len 0x11, precision 8
+        hex4(h),
+        hex4(w),
+        F.lit("03011100021101031101"),  # 3 components
+    )
+    payload = F.unhex(F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpg))
+    pages = docs.withColumn("payload", payload)
+    out = with_media_dims(pages, bin_col="payload")
+    return out.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias("kind"),
+        F.col("media_dims.width").alias("width"),
+        F.col("media_dims.height").alias("height"),
+    )
+
+
+def _media_dims_sql() -> str:
+    def hv(expr: str, i: int) -> str:
+        return f"(strpos('0123456789ABCDEF', substr({expr}, {i}, 1)) - 1)"
+
+    def hexw(expr: str) -> str:  # 4-hex-char big-endian word -> BIGINT
+        return (
+            f"(4096*{hv(expr, 1)} + 256*{hv(expr, 2)} + 16*{hv(expr, 3)} + {hv(expr, 4)})"
+        )
+
+    # byte p (1-based) of the stream sits at hex chars 2p-1..2p
+    sof = "substr(hx, pos*2+1, 2) IN ('C0','C1','C2','C3')"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, doc_id % 800 + 16 AS w0, (doc_id*3) % 600 + 16 AS h0,
+         doc_id % 32 AS k
+  FROM documents
+),
+hxs AS (
+  SELECT doc_id, w0, h0,
+    CASE WHEN doc_id % 2 = 0 THEN
+      '89504E470D0A1A0A0000000D49484452'
+        || lpad(upper(to_hex(w0)), 8, '0') || lpad(upper(to_hex(h0)), 8, '0')
+        || '080600000000000000'
+    ELSE
+      'FFD8FFE000104A46494600010100000100010000'
+        || 'FFFE' || lpad(upper(to_hex(k + 2)), 4, '0') || repeat('41', k)
+        || 'FFC0001108' || lpad(upper(to_hex(h0)), 4, '0')
+        || lpad(upper(to_hex(w0)), 4, '0') || '03011100021101031101'
+    END AS hx
+  FROM base
+),
+png AS (
+  SELECT doc_id, 'png' AS kind,
+         CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+                   AND substr(hx, 25, 8) = '49484452'
+              THEN CAST({hexw("substr(hx, 33, 4)")} * 65536
+                        + {hexw("substr(hx, 37, 4)")} AS BIGINT) END AS width,
+         CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+                   AND substr(hx, 25, 8) = '49484452'
+              THEN CAST({hexw("substr(hx, 41, 4)")} * 65536
+                        + {hexw("substr(hx, 45, 4)")} AS BIGINT) END AS height
+  FROM hxs WHERE doc_id % 2 = 0
+),
+jwalk AS (
+  SELECT doc_id, hx, CAST(3 AS BIGINT) AS pos,
+         CAST(NULL AS BIGINT) AS w, CAST(NULL AS BIGINT) AS h, 0 AS it
+  FROM hxs WHERE doc_id % 2 = 1 AND substr(hx, 1, 6) = 'FFD8FF'
+  UNION ALL
+  SELECT doc_id, hx,
+         CASE WHEN {sof} THEN pos
+              ELSE pos + 2 + {hexw("substr(hx, pos*2+3, 4)")} END,
+         CASE WHEN {sof}
+              THEN CAST({hexw("substr(hx, pos*2+13, 4)")} AS BIGINT) END,
+         CASE WHEN {sof}
+              THEN CAST({hexw("substr(hx, pos*2+9, 4)")} AS BIGINT) END,
+         it + 1
+  FROM jwalk
+  WHERE w IS NULL AND it < 16
+        AND substr(hx, pos*2-1, 2) = 'FF' AND pos*2 + 16 <= len(hx)
+),
+jpeg AS (
+  SELECT doc_id, 'jpeg' AS kind, max(w) AS width, max(h) AS height
+  FROM jwalk GROUP BY doc_id
+)
+SELECT * FROM png UNION ALL SELECT * FROM jpeg
+"""
+
+
 QUERIES.update(
     {
         "ivf_topk": (q_ivf_topk, _ivf_topk_sql()),
+        "media_dims": (q_media_dims, _media_dims_sql()),
         "host_cap": (q_host_cap, _Q_HOST_CAP_SQL),
         "decontaminate": (q_decontaminate, _Q_DECON_SQL),
         "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),

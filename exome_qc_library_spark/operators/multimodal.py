@@ -43,9 +43,12 @@ _MAGIC = [
     ((("FFD8FF", 1),), "image/jpeg"),
     ((("47494638", 1),), "image/gif"),
     ((("52494646", 1), ("57415645", 17)), "audio/wav"),  # RIFF + 'WAVE'
-    ((("52494646", 1), ("41564920", 17)), "video/avi"),  # RIFF + 'AVI '
+    # conventional registered type for AVI (round-3 ADVICE: 'video/avi'
+    # is not a registered MIME type)
+    ((("52494646", 1), ("41564920", 17)), "video/x-msvideo"),  # RIFF + 'AVI '
     ((("52494646", 1), ("57454250", 17)), "image/webp"),  # RIFF + 'WEBP'
-    ((("52494646", 1),), "application/riff"),  # unknown RIFF payload
+    # clearly-internal x- sentinel for a RIFF container we don't recognize
+    ((("52494646", 1),), "application/x-riff"),
     ((("494433", 1),), "audio/mpeg"),  # ID3
     ((("1F8B", 1),), "application/gzip"),
     ((("66747970", 9),), "video/mp4"),  # 'ftyp' at byte offset 4
@@ -88,6 +91,102 @@ def with_media_metadata(df: DataFrame, bin_col: str = "html") -> DataFrame:
             ),
         ),
     )
+
+
+def png_dims_from_hex(hx: Column) -> Column:
+    """(width, height) from a PNG IHDR — fixed offsets, pure expressions.
+
+    PNG layout: 8-byte signature, 4-byte chunk length, ``IHDR`` tag
+    (bytes 13–16), then big-endian uint32 width (bytes 17–20) and height
+    (bytes 21–24). ``hx`` is the uppercase hex of the payload prefix;
+    1-based byte *p* lives at hex chars ``2p-1..2p``. NULL when the
+    signature or IHDR tag is absent.
+    """
+    is_png = F.substring(hx, 1, 16) == "89504E470D0A1A0A"
+    is_ihdr = F.substring(hx, 25, 8) == "49484452"
+    return F.when(
+        is_png & is_ihdr,
+        F.struct(
+            F.conv(F.substring(hx, 33, 8), 16, 10).cast("long").alias("width"),
+            F.conv(F.substring(hx, 41, 8), 16, 10).cast("long").alias("height"),
+        ),
+    )
+
+
+def jpeg_dims_from_hex(hx: Column, max_segments: int = 16) -> Column:
+    """(width, height) from the first JPEG SOF0–SOF3 frame header — a
+    bounded marker walk as ONE aggregate expression (no UDF).
+
+    JPEG layout: ``FFD8`` (SOI), then segments ``FF mm | len(2, inclusive
+    of itself) | payload``; the walk hops ``pos += 2 + len`` until a SOF
+    marker (``C0``–``C3``), whose payload is precision(1), height(2),
+    width(2), … — so height sits at bytes pos+5..6 and width at
+    pos+7..8. The fold runs ``max_segments`` bounded steps over a dummy
+    sequence (APPn/COM/DQT/DHT all precede SOF in real files — 16 hops is
+    generous); rows that never hit a valid SOF yield NULL dims. ``hx``
+    should be a PROJECTED COLUMN (see :func:`with_media_dims`): lambda
+    bodies re-evaluate outer expression subtrees per element, so passing
+    a raw ``hex(...)`` subtree would recompute it every step.
+    """
+
+    def byte_at(p: Column) -> Column:
+        return F.substring(hx, p * 2 - 1, 2)
+
+    def word_at(p: Column) -> Column:  # big-endian uint16 at byte p
+        return F.conv(F.substring(hx, p * 2 - 1, 4), 16, 10).cast("long")
+
+    init = F.struct(
+        F.lit(3).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+
+    def step(acc: Column, _: Column) -> Column:
+        p = acc["pos"]
+        found = acc["w"].isNotNull()
+        valid = (byte_at(p) == "FF") & (p * 2 + 16 <= F.length(hx))
+        is_sof = F.substring(hx, p * 2 + 1, 2).isin("C0", "C1", "C2", "C3")
+        seglen = word_at(p + 2)
+        return (
+            F.when(found | ~valid, acc)
+            .when(
+                is_sof,
+                F.struct(
+                    p.alias("pos"),
+                    word_at(p + 7).alias("w"),
+                    word_at(p + 5).alias("h"),
+                ),
+            )
+            .otherwise(F.struct((p + 2 + seglen).alias("pos"), acc["w"], acc["h"]))
+        )
+
+    is_jpeg = F.substring(hx, 1, 6) == "FFD8FF"
+    st = F.aggregate(F.sequence(F.lit(1), F.lit(max_segments)), init, step)
+    return F.when(
+        is_jpeg & st["w"].isNotNull(),
+        F.struct(st["w"].alias("width"), st["h"].alias("height")),
+    )
+
+
+def with_media_dims(
+    df: DataFrame,
+    bin_col: str = "html",
+    out_col: str = "media_dims",
+    scan_bytes: int = 2048,
+    max_segments: int = 16,
+) -> DataFrame:
+    """Image dimensions as a ``struct<width,height>`` column — pure byte
+    expressions over the payload header, no codec libraries (round-3
+    VERDICT #5): PNG via fixed IHDR offsets, JPEG via the bounded SOF
+    marker walk. Non-image / unparseable payloads yield NULL. The hex
+    prefix is projected ONCE (``__hx``) so the aggregate fold reads a
+    bound column reference, not a re-evaluated hex subtree."""
+    out = df.withColumn("__hx", F.hex(F.substring(F.col(bin_col), 1, scan_bytes)))
+    hx = F.col("__hx")
+    dims = F.when(
+        F.substring(hx, 1, 16) == "89504E470D0A1A0A", png_dims_from_hex(hx)
+    ).when(F.substring(hx, 1, 6) == "FFD8FF", jpeg_dims_from_hex(hx, max_segments))
+    return out.withColumn(out_col, dims).drop("__hx")
 
 
 def byte_features(payload: bytes) -> list[float]:

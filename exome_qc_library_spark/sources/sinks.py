@@ -67,10 +67,44 @@ def write_final_table(
     path: str,
     partition_by: tuple[str, ...] = ("lang_id",),
     fmt: str = "parquet",
+    sample_fractions: dict[str, float] | None = None,
+    sample_strata_col: str = "lang_id",
+    sample_key_col: str = "url",
+    sample_default_fraction: float = 0.0,
 ) -> str:
     """Final partitioned snapshot (per-chromosome-split analog): one
     directory per partition value, so downstream consumers prune by
-    partition (e.g. per-language training corpora)."""
+    partition (e.g. per-language training corpora).
+
+    ``sample_fractions`` applies the deterministic stratified quota
+    sampler at export time (round-3 VERDICT #3): keep
+    ``fractions[stratum]`` of each ``sample_strata_col`` stratum — the
+    training-mix quota step. Down-sampling happens ONLY here, at the
+    terminal export, so every pipeline stage stays row-count-preserving
+    (annotate-don't-drop). The gate is the zero-shuffle hash filter of
+    :func:`~..operators.sampling.stratified_sample` — string keys are
+    folded to int64 via xxhash64 first, so the kept set is
+    partition-layout-independent and resumable like everything else.
+    """
+    if sample_fractions is not None:
+        from pyspark.sql import types as T
+
+        from ..operators.sampling import stratified_sample
+
+        key_type = df.schema[sample_key_col].dataType
+        if isinstance(key_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            keyed, added = df, False
+        else:
+            keyed = df.withColumn("__skey", F.xxhash64(F.col(sample_key_col)))
+            added = True
+        out = stratified_sample(
+            keyed,
+            strata_col=sample_strata_col,
+            fractions=sample_fractions,
+            key_col=sample_key_col if not added else "__skey",
+            default_fraction=sample_default_fraction,
+        )
+        df = out.drop("__skey") if added else out
     (
         df.write.mode("overwrite")
         .partitionBy(*[c for c in partition_by if c in df.columns])

@@ -122,6 +122,42 @@ def test_s6_s10_flags_reach_final_accounting(spark, pages):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_host_cap_and_cross_doc_line_stages_optional(spark, pages):
+    # round-3 VERDICT #3: the curation operators are wire-able as pipeline
+    # stages — with the knobs on, their tags land in the flag arrays AND
+    # in the terminal low_pass accounting checkpoint; row count holds
+    root = tempfile.mkdtemp(prefix="ckpt_curation_")
+    try:
+        store = CheckpointStore(spark, root)
+        pipe = build_quality_pipeline(
+            store, host_cap=2, cross_doc_dup_lines=True, max_shared_line_frac=0.5
+        )
+        names = [s.name for s in pipe.stages]
+        assert "s2c_host_cap" in names and "s4b_cross_doc_lines" in names
+        out = pipe.run(pages)
+        fired = {
+            r["flag"]
+            for r in out.select(F.explode("low_pass_failing_qc").alias("flag"))
+            .distinct()
+            .collect()
+        }
+        # synth pages: host 0 is domain-heavy (cap fires) and dup classes
+        # copy anchor content verbatim (cross-doc shared lines fire)
+        assert "host_over_cap" in fired
+        assert "cross_doc_dup_lines" in fired
+        acct = store.read("s11_verdict__flag_counts")
+        acct_flags = {r["flag"] for r in acct.collect()}
+        assert {"host_over_cap", "cross_doc_dup_lines"} <= acct_flags
+        assert out.count() == pages.count()  # annotate-don't-drop
+        # off by default: the baseline pipeline has neither stage
+        base = build_quality_pipeline(CheckpointStore(spark, root))
+        assert {"s2c_host_cap", "s4b_cross_doc_lines"}.isdisjoint(
+            {s.name for s in base.stages}
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_decontamination_stage_optional(spark, pages):
     # with a benchmark supplied, s2b flags overlapping docs; row count and
     # verdict conjunction still hold

@@ -15,9 +15,32 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = (8, 32)
+
+
+def wait_for_quiet(threshold: float, timeout_s: float, poll_s: float = 10.0) -> float:
+    """Block until 1-min loadavg < ``threshold`` (or ``timeout_s`` passes),
+    then return the loadavg seen. Round-3 lesson (VERDICT #4): quiet
+    valleys on this shared box close within ~2 min — fire the repeat-pair
+    the INSTANT load drops instead of hoping a fixed schedule lands in
+    one. ``threshold <= 0`` disables the wait (old behavior)."""
+    if threshold <= 0:
+        return os.getloadavg()[0]
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < threshold:
+            return load
+        if time.time() - t0 > timeout_s:
+            print(
+                json.dumps({"quiet_wait_timed_out": True, "load": round(load, 2)}),
+                flush=True,
+            )
+            return load
+        time.sleep(poll_s)
 
 
 def run_level(cpus: int) -> dict:
@@ -83,15 +106,26 @@ def main() -> None:
     # run-to-run swings); interleaved repeats + per-level MINIMUM
     # approximate uncontended capability
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    quiet = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "3.0"))
+    quiet_timeout = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "900"))
     runs: dict[int, list[dict]] = {n: [] for n in LEVELS}
     for rep in range(repeats):
+        # snipe a quiet valley per PAIR so both levels of a repeat see the
+        # same co-tenant regime (the efficiency ratio is what matters)
+        load0 = wait_for_quiet(quiet, quiet_timeout)
         for n in LEVELS:
             r = run_level(n)
             runs[n].append(r)
             # incremental progress line: a killed run still leaves evidence
             print(
                 json.dumps(
-                    {"rep": rep, "level": n, "pipeline_sec": r["queries"]["pipeline_e2e"]}
+                    {
+                        "rep": rep,
+                        "level": n,
+                        "pipeline_sec": r["queries"]["pipeline_e2e"],
+                        "load_at_start": round(load0, 2),
+                        "load_now": round(os.getloadavg()[0], 2),
+                    }
                 ),
                 flush=True,
             )
@@ -106,6 +140,7 @@ def main() -> None:
     cal: dict[int, float] = {lv: float("inf") for lv in LEVELS}
     cal_reps = int(os.environ.get("SPARK_GRAFT_CAL_REPEATS", "1"))
     for _ in range(cal_reps):
+        wait_for_quiet(quiet, quiet_timeout)
         for lv in LEVELS:
             cal[lv] = min(cal[lv], calibrate_level(lv))
             print(json.dumps({"cal_level": lv, "sec": cal[lv]}), flush=True)

@@ -20,17 +20,30 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
+# Columns whose LIST cells compare order-INSENSITIVELY, per query — opt-in
+# (round-3 ADVICE: sorting every list cell would silently mask an ordering
+# bug in a query whose array order is contractual, e.g. a sort_array or
+# ranked-list column). Only aggregation-order-nondeterministic collectors
+# belong here. Currently EMPTY: every shipped array-producing query
+# normalizes to a sorted concat_ws string precisely so its oracle row is
+# order-exact. Value True = all list columns of that query.
+UNORDERED_LIST_COLS: dict[str, set | bool] = {}
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+
+def canon(df: pd.DataFrame, unordered_cols: set | bool = False) -> pd.DataFrame:
     """Dtype-STRICT canonicalization mirroring the driver's hash discipline:
     ints stay ints, floats stay floats (rounded to 6 dp) — a DuckDB HUGEINT
     sum landing as float64 (`99111.0`) must NOT compare equal to Spark's
-    int64 `99111` (that masking was round-1 finding #2 in VERDICT.md)."""
+    int64 `99111` (that masking was round-1 finding #2 in VERDICT.md).
 
-    def elem(e) -> str:
+    List cells keep their element ORDER unless their column is named in
+    ``unordered_cols`` (or it is True): order-insensitive comparison is
+    opt-in per column, so a contractual array ordering can never be
+    silently masked by the harness (round-3 ADVICE)."""
+
+    def elem(e, unordered: bool) -> str:
         """Element-wise canon for list cells: floats rounded like scalar
-        floats, elements SORTED so collect_list order (nondeterministic in
-        Spark) can never flip a comparison (round-2 ADVICE)."""
+        floats; elements sorted only when the column opted in."""
         if e is None or (not isinstance(e, (list, set, tuple)) and pd.isna(e)):
             return "__NULL__"
         if isinstance(e, bool):
@@ -38,10 +51,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(e, float):
             return repr(round(e, 6))
         if isinstance(e, (list, set, tuple)) or type(e).__name__ == "ndarray":
-            return str(sorted(elem(x) for x in e))
+            inner = [elem(x, unordered) for x in e]
+            return str(sorted(inner) if unordered else inner)
         return str(e)
 
-    def cell(v, kind: str) -> str:
+    def cell(v, kind: str, unordered: bool) -> str:
         if v is None or (not isinstance(v, (list, set, tuple)) and pd.isna(v)):
             return "__NULL__"
         if kind == "i":
@@ -51,7 +65,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if kind == "b":
             return str(bool(v))
         if isinstance(v, (list, set, tuple)) or type(v).__name__ == "ndarray":
-            return str(sorted(elem(e) for e in v))
+            inner = [elem(e, unordered) for e in v]
+            return str(sorted(inner) if unordered else inner)
         return str(v)
 
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -69,7 +84,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if df[c].dtype.kind == "b" or dt == "boolean"
             else "o"
         )
-        df[c] = df[c].map(lambda v, k=kind: cell(v, k))
+        uno = unordered_cols is True or (
+            not isinstance(unordered_cols, bool) and c in unordered_cols
+        )
+        df[c] = df[c].map(lambda v, k=kind, u=uno: cell(v, k, u))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -107,7 +125,8 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        a, b = canon(sdf), canon(odf)
+        uno = UNORDERED_LIST_COLS.get(name, False)
+        a, b = canon(sdf, uno), canon(odf, uno)
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failures.append(name)
