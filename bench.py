@@ -97,13 +97,21 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     # -- end-to-end pipeline on synthesized pages
+    # SPARK_GRAFT_PAGES_DIR points at a pre-synthesized pages parquet so
+    # repeated scaling runs skip the synth+write (~1-2 min of untimed wall
+    # clock per run — matters because quiet co-tenant valleys on this box
+    # close within ~2 min and the whole pair must fit inside one)
+    pages_pre = os.environ.get("SPARK_GRAFT_PAGES_DIR")
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
     ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
     try:
-        synthesize_pages(
-            spark, n_docs=BENCH_DOCS, seed=42, with_edge_cases=False
-        ).write.mode("overwrite").parquet(os.path.join(pages_dir, "pages"))
-        pages = spark.read.parquet(os.path.join(pages_dir, "pages"))
+        if pages_pre:
+            pages = spark.read.parquet(pages_pre)
+        else:
+            synthesize_pages(
+                spark, n_docs=BENCH_DOCS, seed=42, with_edge_cases=False
+            ).write.mode("overwrite").parquet(os.path.join(pages_dir, "pages"))
+            pages = spark.read.parquet(os.path.join(pages_dir, "pages"))
         t0 = time.monotonic()
         pipe = build_quality_pipeline(CheckpointStore(spark, ckpt_dir))
         out = pipe.run(pages)

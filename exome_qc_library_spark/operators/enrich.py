@@ -27,10 +27,18 @@ def enrich_with_host_metadata(
     host_metadata: DataFrame,
     url_col: str = "url",
     host_col: str = "host",
+    broadcast_metadata: bool = True,
 ) -> DataFrame:
-    """Broadcast left join of per-host metadata onto the pages table."""
+    """Left join of per-host metadata onto the pages table.
+
+    Hinted broadcast by default (curated crawl-metadata tables are
+    dimension-sized); ``broadcast_metadata=False`` for a full-web host
+    table (10⁷–10⁸ rows × several columns — multi-GB, past broadcast
+    size), where the uniform host key makes the shuffle join safe and
+    AQE still broadcasts if the table actually fits."""
     out = df.withColumn(host_col, host_expr(F.col(url_col)))
-    return out.join(F.broadcast(host_metadata), host_col, "left")
+    meta = F.broadcast(host_metadata) if broadcast_metadata else host_metadata
+    return out.join(meta, host_col, "left")
 
 
 def union_cols(

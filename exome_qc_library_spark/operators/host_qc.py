@@ -90,12 +90,21 @@ def flag_host_outliers(
     measures: tuple[str, ...] = HOST_MEASURES,
     k_sigma: float = 4.0,
     flag_col: str = "final_failing_qc",
+    broadcast_outliers: bool = True,
 ) -> DataFrame:
     """Flag docs on hosts whose mean measure is > k·σ from the batch mean.
 
     Plan shape: groupBy host (salted) → groupBy batch (tiny) → broadcast
     stats join onto host metrics → broadcast outlier-host set join onto
     the docs. The doc table is never shuffled and no WindowExec appears.
+
+    The outlier-host set is a k·σ TAIL of the host-mean distribution —
+    ~1e-4 of hosts at the default k=4 under anything unimodal — so the
+    broadcast hint is on by default, unlike the decontamination hit set
+    (which can be a majority). ``broadcast_outliers=False`` drops the
+    hint for pathological distributions (bimodal host means at a small
+    ``k_sigma``) where the flagged set could grow past broadcast size;
+    the join key is the uniform host, so AQE then picks the strategy.
 
     When ``batch_col`` is set, flagging is WITHIN-STRATUM: the outlier set
     keys on (host, batch) and docs join back on both, so a host that is an
@@ -129,9 +138,10 @@ def flag_host_outliers(
         .select(*bad_keys)
         .distinct()
     )
-    out = df.withColumn("host", host_expr(F.col(url_col))).join(
-        F.broadcast(bad_hosts.withColumn("__host_outlier", F.lit(True))), bad_keys, "left"
-    )
+    bad = bad_hosts.withColumn("__host_outlier", F.lit(True))
+    if broadcast_outliers:
+        bad = F.broadcast(bad)
+    out = df.withColumn("host", host_expr(F.col(url_col))).join(bad, bad_keys, "left")
     out = add_flags(
         out, flag_col, {"host_outlier": F.coalesce(F.col("__host_outlier"), F.lit(False))}
     )

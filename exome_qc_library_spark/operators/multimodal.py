@@ -113,6 +113,25 @@ def png_dims_from_hex(hx: Column) -> Column:
     )
 
 
+def gif_dims_from_hex(hx: Column) -> Column:
+    """(width, height) from a GIF logical screen descriptor — fixed
+    offsets, pure expressions. GIF87a/GIF89a signature, then
+    LITTLE-endian uint16 width (bytes 7–8) and height (bytes 9–10):
+    value = low_byte + 256·high_byte."""
+    is_gif = F.substring(hx, 1, 12).isin("474946383761", "474946383961")
+
+    def byte(p: int) -> Column:  # 1-based byte position
+        return F.conv(F.substring(hx, p * 2 - 1, 2), 16, 10).cast("long")
+
+    return F.when(
+        is_gif & (F.length(hx) >= 20),
+        F.struct(
+            (byte(7) + byte(8) * 256).alias("width"),
+            (byte(9) + byte(10) * 256).alias("height"),
+        ),
+    )
+
+
 def jpeg_dims_from_hex(hx: Column, max_segments: int = 16) -> Column:
     """(width, height) from the first JPEG SOF0–SOF3 frame header — a
     bounded marker walk as ONE aggregate expression (no UDF).
@@ -177,15 +196,18 @@ def with_media_dims(
 ) -> DataFrame:
     """Image dimensions as a ``struct<width,height>`` column — pure byte
     expressions over the payload header, no codec libraries (round-3
-    VERDICT #5): PNG via fixed IHDR offsets, JPEG via the bounded SOF
-    marker walk. Non-image / unparseable payloads yield NULL. The hex
-    prefix is projected ONCE (``__hx``) so the aggregate fold reads a
-    bound column reference, not a re-evaluated hex subtree."""
+    VERDICT #5): PNG via fixed IHDR offsets, GIF via fixed little-endian
+    offsets, JPEG via the bounded SOF marker walk. Non-image /
+    unparseable payloads yield NULL. The hex prefix is projected ONCE
+    (``__hx``) so the aggregate fold reads a bound column reference, not
+    a re-evaluated hex subtree."""
     out = df.withColumn("__hx", F.hex(F.substring(F.col(bin_col), 1, scan_bytes)))
     hx = F.col("__hx")
-    dims = F.when(
-        F.substring(hx, 1, 16) == "89504E470D0A1A0A", png_dims_from_hex(hx)
-    ).when(F.substring(hx, 1, 6) == "FFD8FF", jpeg_dims_from_hex(hx, max_segments))
+    dims = (
+        F.when(F.substring(hx, 1, 16) == "89504E470D0A1A0A", png_dims_from_hex(hx))
+        .when(F.substring(hx, 1, 8) == "47494638", gif_dims_from_hex(hx))
+        .when(F.substring(hx, 1, 6) == "FFD8FF", jpeg_dims_from_hex(hx, max_segments))
+    )
     return out.withColumn(out_col, dims).drop("__hx")
 
 

@@ -28,3 +28,25 @@ def test_join_is_broadcast(spark):
     meta = spark.createDataFrame([("a.com", 0.5)], "host string, spam_score double")
     plan = enrich_with_host_metadata(docs, meta)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_enrich_broadcast_gate(spark):
+    # broadcast_metadata=False (full-web host tables past broadcast size)
+    # must produce identical rows via the shuffle-join path
+    docs = spark.createDataFrame(
+        [("https://a.com/1",), ("https://c.com/1",)], "url string"
+    )
+    meta = spark.createDataFrame(
+        [("a.com", "src1", 0.95, "b1")],
+        "host string, source string, spam_score double, crawl_batch string",
+    )
+    a = sorted(
+        map(tuple, enrich_with_host_metadata(docs, meta).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            enrich_with_host_metadata(docs, meta, broadcast_metadata=False).collect(),
+        )
+    )
+    assert a == b

@@ -166,3 +166,19 @@ def test_segment_outliers(spark):
     out = flag_segment_outliers(df, k_sigma=3.0, min_segment_n=10)
     flagged = {r["doc_id"] for r in out.filter(F.size("final_failing_qc") > 0).collect()}
     assert flagged == {100}
+
+
+def test_flag_host_outliers_broadcast_gate(spark):
+    # the outlier-host broadcast hint is gated (round-4 hardening, same
+    # class as the decontamination hit set): both settings must agree
+    a = {
+        (r["url"], tuple(r["final_failing_qc"]))
+        for r in flag_host_outliers(_docs(spark), k_sigma=2.0).collect()
+    }
+    b = {
+        (r["url"], tuple(r["final_failing_qc"]))
+        for r in flag_host_outliers(
+            _docs(spark), k_sigma=2.0, broadcast_outliers=False
+        ).collect()
+    }
+    assert a == b

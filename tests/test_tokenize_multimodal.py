@@ -152,6 +152,11 @@ def test_media_dims_png_jpeg_expressions(spark):
         ("jpeg", _jpeg_bytes(1024, 768)),
         ("jpeg_prog", _jpeg_bytes(31, 997, com_len=0, sof="C2")),
         ("jpeg_no_sof", bytes.fromhex("FFD8FFE000104A46494600010100000100010000")),
+        ("gif", bytes.fromhex("474946383961") + (513).to_bytes(2, "little")
+                + (258).to_bytes(2, "little") + b"\xf7\x00\x00"),
+        ("gif87", bytes.fromhex("474946383761") + (12).to_bytes(2, "little")
+                + (34).to_bytes(2, "little") + b"\x00\x00\x00"),
+        ("trunc_gif", bytes.fromhex("47494638396101")),
         ("junk", b"not an image at all"),
         ("trunc_png", bytes.fromhex("89504E470D0A1A0A0000")),
         ("null", None),
@@ -168,6 +173,9 @@ def test_media_dims_png_jpeg_expressions(spark):
     assert got["jpeg"] == (1024, 768)
     assert got["jpeg_prog"] == (31, 997)
     assert got["jpeg_no_sof"] is None
+    assert got["gif"] == (513, 258)      # little-endian decode
+    assert got["gif87"] == (12, 34)
+    assert got["trunc_gif"] is None
     assert got["junk"] is None
     assert got["trunc_png"] is None
     assert got["null"] is None

@@ -43,7 +43,33 @@ def wait_for_quiet(threshold: float, timeout_s: float, poll_s: float = 10.0) -> 
         time.sleep(poll_s)
 
 
-def run_level(cpus: int) -> dict:
+def synth_pages_once(docs: int) -> str:
+    """Pre-synthesize the scaling corpus ONCE and return its parquet path:
+    each level run then starts its timed section within seconds of launch
+    instead of after a ~1-2 min synth+write, so a whole 8/32 pair has a
+    fighting chance of fitting inside one co-tenant valley."""
+    path = f"/tmp/bench_scaling_pages_{docs}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from exome_qc_library_spark.session import build_session
+from exome_qc_library_spark.synth import synthesize_pages
+spark = build_session(parallelism=32, app_name="synth_scaling")
+synthesize_pages(spark, n_docs={docs}, seed=42, with_edge_cases=False).write.mode("overwrite").parquet({path!r})
+spark.stop()
+"""
+    subprocess.run(
+        [sys.executable, "-c", code],
+        env=dict(os.environ, PYTHONPATH=REPO),
+        check=True,
+        capture_output=True,
+    )
+    return path
+
+
+def run_level(cpus: int, pages_dir: str | None = None) -> dict:
     # scaling runs use a larger corpus than the per-round bench so the
     # parallel fraction dominates fixed costs (Amdahl: at 200k docs the
     # ~13s of checkpoint/driver fixed cost still caps local[32] efficiency
@@ -55,6 +81,8 @@ def run_level(cpus: int) -> dict:
         SPARK_GRAFT_SKIP_QUERIES="1",
         PYTHONPATH=REPO,
     )
+    if pages_dir:
+        env["SPARK_GRAFT_PAGES_DIR"] = pages_dir
     last_err = None
     for attempt in range(2):  # retry once: shared-machine runs can die on OOM kills
         out = subprocess.run(
@@ -108,13 +136,15 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     quiet = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "3.0"))
     quiet_timeout = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "900"))
+    docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "500000"))
+    pages_dir = synth_pages_once(docs)
     runs: dict[int, list[dict]] = {n: [] for n in LEVELS}
     for rep in range(repeats):
         # snipe a quiet valley per PAIR so both levels of a repeat see the
         # same co-tenant regime (the efficiency ratio is what matters)
         load0 = wait_for_quiet(quiet, quiet_timeout)
         for n in LEVELS:
-            r = run_level(n)
+            r = run_level(n, pages_dir)
             runs[n].append(r)
             # incremental progress line: a killed run still leaves evidence
             print(
@@ -180,10 +210,13 @@ def main() -> None:
                 f"shared box can deliver: **{eff / cal_eff:.3f}**\n"
             )
             lines.append(
-                "Protocol: interleaved repeats per level on identical input "
-                "(seed 42, 200k synthesized pages incl. full pipeline + checkpoints); "
-                "per-level minimum reported — this sandbox is shared with other "
-                "tenants and single runs swing up to 5×. All pipeline seconds:\n"
+                f"Protocol: interleaved repeats per level on identical input "
+                f"(seed 42, {docs} pre-synthesized pages incl. full pipeline + "
+                f"checkpoints); per-level minimum reported — this sandbox is "
+                f"shared with other tenants and single runs swing up to 5×. "
+                f"Each pair fires the instant 1-min load < "
+                f"{os.environ.get('SPARK_GRAFT_QUIET_LOAD', '3.0')}. "
+                f"All pipeline seconds:\n"
             )
             lines.append("```json")
             lines.append(json.dumps(report["all_pipeline_secs"], indent=2))
