@@ -335,8 +335,15 @@ def flag_near_duplicates(
                 {"near_duplicate": F.lit(False)},
             )
         spark = df.sparkSession
+        # pandas + Arrow ship the mapping in columnar batches — the
+        # list-of-tuples path pickles row-by-row and is a measurable
+        # DRIVER-SERIAL cost at web-scale pair counts (Amdahl: serial
+        # driver work is what caps the N→4N scaling efficiency)
         cdf = spark.createDataFrame(
-            [(k, v) for k, v in mapping.items()], schema=f"{key_col} string, dup_cluster_id string"
+            pd.DataFrame(
+                {key_col: list(mapping.keys()), "dup_cluster_id": list(mapping.values())}
+            ),
+            schema=f"{key_col} string, dup_cluster_id string",
         )
     else:
         cdf = connected_components_df(pairs).withColumnsRenamed(

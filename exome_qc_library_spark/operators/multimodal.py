@@ -132,6 +132,34 @@ def gif_dims_from_hex(hx: Column) -> Column:
     )
 
 
+def webp_vp8x_dims_from_hex(hx: Column) -> Column:
+    """(width, height) from a WebP VP8X (extended-format) chunk — fixed
+    offsets, pure expressions. Layout: RIFF(4) size(4) WEBP(4) VP8X(4)
+    chunk-size(4) flags(1) reserved(3), then 24-bit little-endian
+    canvas-width-minus-1 (bytes 25–27) and canvas-height-minus-1
+    (bytes 28–30). Simple-format VP8/VP8L payloads carry dims inside the
+    codec bitstream (entropy-coded) and stay NULL here by design."""
+    is_vp8x = (
+        (F.substring(hx, 1, 8) == "52494646")
+        & (F.substring(hx, 17, 8) == "57454250")  # 'WEBP' at byte 9
+        & (F.substring(hx, 25, 8) == "56503858")  # 'VP8X' at byte 13
+    )
+
+    def byte(p: int) -> Column:
+        return F.conv(F.substring(hx, p * 2 - 1, 2), 16, 10).cast("long")
+
+    def le24(p: int) -> Column:  # little-endian uint24 starting at byte p
+        return byte(p) + byte(p + 1) * 256 + byte(p + 2) * 65536
+
+    return F.when(
+        is_vp8x & (F.length(hx) >= 60),
+        F.struct(
+            (le24(25) + 1).alias("width"),
+            (le24(28) + 1).alias("height"),
+        ),
+    )
+
+
 def jpeg_dims_from_hex(hx: Column, max_segments: int = 16) -> Column:
     """(width, height) from the first JPEG SOF0–SOF3 frame header — a
     bounded marker walk as ONE aggregate expression (no UDF).
@@ -206,6 +234,7 @@ def with_media_dims(
     dims = (
         F.when(F.substring(hx, 1, 16) == "89504E470D0A1A0A", png_dims_from_hex(hx))
         .when(F.substring(hx, 1, 8) == "47494638", gif_dims_from_hex(hx))
+        .when(F.substring(hx, 1, 8) == "52494646", webp_vp8x_dims_from_hex(hx))
         .when(F.substring(hx, 1, 6) == "FFD8FF", jpeg_dims_from_hex(hx, max_segments))
     )
     return out.withColumn(out_col, dims).drop("__hx")

@@ -157,6 +157,13 @@ def test_media_dims_png_jpeg_expressions(spark):
         ("gif87", bytes.fromhex("474946383761") + (12).to_bytes(2, "little")
                 + (34).to_bytes(2, "little") + b"\x00\x00\x00"),
         ("trunc_gif", bytes.fromhex("47494638396101")),
+        # WebP VP8X: RIFF size WEBP VP8X(len 10) flags+reserved, 24-bit LE
+        # (width-1, height-1)
+        ("webp_x", bytes.fromhex("52494646") + (70).to_bytes(4, "little")
+                 + b"WEBPVP8X" + (10).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+                 + (639).to_bytes(3, "little") + (199999).to_bytes(3, "little")),
+        ("webp_lossy", bytes.fromhex("52494646") + (70).to_bytes(4, "little")
+                 + b"WEBPVP8 " + b"\x00" * 20),  # simple format: dims in bitstream → NULL
         ("junk", b"not an image at all"),
         ("trunc_png", bytes.fromhex("89504E470D0A1A0A0000")),
         ("null", None),
@@ -176,6 +183,8 @@ def test_media_dims_png_jpeg_expressions(spark):
     assert got["gif"] == (513, 258)      # little-endian decode
     assert got["gif87"] == (12, 34)
     assert got["trunc_gif"] is None
+    assert got["webp_x"] == (640, 200000)  # 24-bit little-endian + 1
+    assert got["webp_lossy"] is None
     assert got["junk"] is None
     assert got["trunc_png"] is None
     assert got["null"] is None

@@ -140,10 +140,15 @@ def main() -> None:
     pages_dir = synth_pages_once(docs)
     runs: dict[int, list[dict]] = {n: [] for n in LEVELS}
     for rep in range(repeats):
-        # snipe a quiet valley per PAIR so both levels of a repeat see the
-        # same co-tenant regime (the efficiency ratio is what matters)
+        # snipe a quiet valley per PAIR. The 4N level runs FIRST: it needs
+        # 4× more free cores, and valleys on this box close within ~2 min
+        # — giving local[32] the valley's opening instant is the only way
+        # it ever sees 32 free cores (observed: pairs launched at load 1.6
+        # had co-tenants back at load 24 by the time the second level
+        # started). The reported estimator is per-level MINIMA across
+        # repeats, so the order does not bias the ratio.
         load0 = wait_for_quiet(quiet, quiet_timeout)
-        for n in LEVELS:
+        for n in sorted(LEVELS, reverse=True):
             r = run_level(n, pages_dir)
             runs[n].append(r)
             # incremental progress line: a killed run still leaves evidence
