@@ -238,10 +238,12 @@ def connected_components_driver(pairs: DataFrame, a: str = "a", b: str = "b") ->
             x = parent[x]
         return x
 
-    # collect(), not toLocalIterator(): the edge set is small by design and
-    # toLocalIterator schedules one sequential job per partition
-    for row in pairs.select(a, b).collect():
-        x, y = row[a], row[b]
+    # ONE Arrow-batched toPandas job, not collect() (row-pickled) and not
+    # toLocalIterator() (one sequential job per partition): the edge set
+    # is small by design but at web scale it is still 10⁵-10⁶ rows, and
+    # this driver boundary is serial — Amdahl's s in the scaling study
+    pdf = pairs.select(a, b).toPandas()
+    for x, y in zip(pdf[a].tolist(), pdf[b].tolist()):
         parent.setdefault(x, x)
         parent.setdefault(y, y)
         rx, ry = find(x), find(y)

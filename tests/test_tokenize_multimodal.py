@@ -188,3 +188,29 @@ def test_media_dims_png_jpeg_expressions(spark):
     assert got["junk"] is None
     assert got["trunc_png"] is None
     assert got["null"] is None
+
+
+def test_jpeg_dims_marker_walk_is_bounded(spark):
+    # a JPEG whose SOF sits beyond max_segments hops yields NULL (bounded
+    # fold — never wrong data, never an unbounded loop); raising the bound
+    # finds it
+    from exome_qc_library_spark.operators.multimodal import with_media_dims
+
+    many_coms = b"".join(
+        bytes.fromhex("FFFE0003") + b"A" for _ in range(20)  # 20 COM segments
+    )
+    payload = (
+        bytes.fromhex("FFD8")
+        + many_coms
+        + bytes.fromhex("FFC0001108")
+        + (99).to_bytes(2, "big")
+        + (77).to_bytes(2, "big")
+        + bytes.fromhex("03011100021101031101")
+    )
+    df = spark.createDataFrame([("j", payload)], "id string, payload binary")
+    r16 = with_media_dims(df, bin_col="payload").collect()[0]["media_dims"]
+    assert r16 is None  # 20 hops > default 16-segment bound
+    r32 = with_media_dims(df, bin_col="payload", max_segments=32).collect()[0][
+        "media_dims"
+    ]
+    assert (r32["width"], r32["height"]) == (77, 99)
