@@ -154,6 +154,21 @@ def test_host_cap_and_cross_doc_line_stages_optional(spark, pages):
         assert {"s2c_host_cap", "s4b_cross_doc_lines"}.isdisjoint(
             {s.name for s in base.stages}
         )
+        # resume with the SAME knobs reproduces the cold run from its own
+        # checkpoints (the optional stages change the stage list, so their
+        # store must be self-consistent)
+        out2 = build_quality_pipeline(
+            CheckpointStore(spark, root),
+            host_cap=2,
+            cross_doc_dup_lines=True,
+            max_shared_line_frac=0.5,
+        ).run(pages.limit(0))
+        assert (
+            out.select("url", "keep", "low_pass_failing_qc")
+            .exceptAll(out2.select("url", "keep", "low_pass_failing_qc"))
+            .count()
+            == 0
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -176,3 +176,50 @@ def test_streaming_matches_batch_flags(spark, pages):
     n_fail_batch = batch.filter(F.size("low_pass_failing_qc") > 0).count()
     assert batch.count() == 100
     assert 0 < n_fail_batch < 100
+
+
+def test_streaming_decontamination_matches_batch(spark, pages):
+    """Decontamination is per-doc vs a STATIC benchmark — it needs no
+    cross-batch state, so it composes into streaming via foreachBatch
+    (the repo's documented pattern for cross-record stages) and must
+    produce exactly the batch operator's flags."""
+    import pyspark.sql.functions as F
+
+    from exome_qc_library_spark.operators.decontaminate import flag_contaminated
+    from exome_qc_library_spark.operators.ingest import ingest_pages
+    from exome_qc_library_spark.streaming.stream import stream_pages
+
+    src = tempfile.mkdtemp(prefix="stream_decon_")
+    try:
+        sample = pages.limit(80).cache()
+        sample.repartition(4).write.mode("overwrite").parquet(src)
+        # benchmark = one real doc's text → at least one stream doc flags
+        bench_text = sample.filter(F.col("text").isNotNull()).first()["text"]
+        bench = spark.createDataFrame([("b1", bench_text)], "bid string, text string")
+
+        collected: dict[str, bool] = {}
+
+        def sink(df, _epoch):
+            out = flag_contaminated(ingest_pages(df), bench, n=5, flag_col="ff")
+            for r in out.select("url", "ff").collect():
+                collected[r["url"]] = "contaminated" in r["ff"]
+
+        q = (
+            stream_pages(spark, src, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        batch = flag_contaminated(ingest_pages(sample), bench, n=5, flag_col="ff")
+        want = {
+            r["url"]: "contaminated" in r["ff"]
+            for r in batch.select("url", "ff").collect()
+        }
+        assert collected == want
+        assert any(want.values()) and not all(want.values())
+        sample.unpersist()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
