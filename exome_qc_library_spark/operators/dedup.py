@@ -307,12 +307,24 @@ def flag_near_duplicates(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
-    use_driver_cc: bool = True,
+    use_driver_cc: bool | None = None,
+    max_driver_pairs: int = 5_000_000,
     prefer: list | None = None,
 ) -> DataFrame:
     """Full near-dup stage: LSH pairs → threshold → components →
     representative per cluster → ``near_duplicate`` flags,
     ``dup_cluster_id`` annotation. Row count preserved.
+
+    ``use_driver_cc=None`` (default) SIZE-GATES the clustering path
+    (round-4 VERDICT #1 — the last place where 100-TB safety depended on
+    a caller flag): the thresholded pair set is localCheckpoint'd (tiny
+    by LSH construction) and counted — one cheap job over pairs, never
+    docs — and the driver union-find is chosen only when the edge count
+    fits ``max_driver_pairs``; above it the distributed min-label
+    propagation (:func:`connected_components_df`) runs instead. Explicit
+    ``True``/``False`` still overrides. The bound mirrors the
+    reference's own driver-boundary cap on its to_pandas→networkx step
+    (``shared/samples_qc.py:805-808``).
 
     ``prefer`` is the pluggable representative-preference rule (the
     reference's case-preferring independent set,
@@ -328,6 +340,11 @@ def flag_near_duplicates(
     pairs = minhash_candidate_pairs(
         df, key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands
     ).filter(F.col("jaccard_est") >= threshold)
+    if use_driver_cc is None:
+        # materialize once so the gate count and the chosen CC path share
+        # the LSH work instead of recomputing the sketch pipeline twice
+        pairs = pairs.localCheckpoint()
+        use_driver_cc = pairs.count() <= max_driver_pairs
     if use_driver_cc:
         mapping = connected_components_driver(pairs)
         if not mapping:

