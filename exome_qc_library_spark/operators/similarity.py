@@ -197,13 +197,19 @@ def ivf_assign(
     Cn = Cm / np.maximum(np.linalg.norm(Cm, axis=1, keepdims=True), 1e-300)
     # copy the fields — StructType.add would mutate the DataFrame's CACHED
     # schema object, making df.columns lie about the pre-assign plan; an
-    # existing cent_id field is dropped first so re-assignment REPLACES it
-    # (matching the inline path's withColumn semantics) instead of
-    # producing a duplicate-name schema (round-3 ADVICE)
-    schema = T.StructType(
-        [f for f in df.schema.fields if f.name != cent_id]
-        + [T.StructField(cent_id, T.LongType())]
-    )
+    # existing cent_id field is REPLACED IN PLACE (round-4 ADVICE: the
+    # inline path's withColumn keeps the column's original position, so
+    # the pandas path must too — positional consumers downstream, union
+    # by position / fixed-schema mapInPandas, would otherwise see a
+    # different schema depending on model size vs max_inline)
+    fields = list(df.schema.fields)
+    names = [f.name for f in fields]
+    new_field = T.StructField(cent_id, T.LongType())
+    if cent_id in names:
+        fields[names.index(cent_id)] = new_field
+    else:
+        fields.append(new_field)
+    schema = T.StructType(fields)
     out_cols = [f.name for f in schema.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -308,9 +314,18 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int = 200,
+    return_truncation: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-pattern bucket key (one int), exact
     cosine verification within buckets. Shuffle key = bucket, not pairs.
+
+    ``return_truncation=True`` returns ``(pairs, truncation)`` where
+    ``truncation`` is a lazy DataFrame of buckets the cap actually bit —
+    ``(bucket, n_members, kept)`` for every bucket larger than
+    ``max_bucket`` (round-4 ADVICE #2: the recall loss was silent; now a
+    caller can count/log exactly which buckets were truncated and by how
+    much, at zero extra cost when unrequested — the member count rides
+    the same grouped aggregation the cap uses).
 
     Degenerate buckets are capped at ``max_bucket`` members (round-3
     VERDICT #1 — this was the last uncapped O(m²) pair generator): all
@@ -349,7 +364,8 @@ def embedding_near_dup_pairs(
     # from this branch; each row lives in exactly ONE bucket so the pair
     # set needs no cross-bucket dedup
     grouped = bucketed.groupBy("bucket").agg(
-        F.slice(F.array_sort(F.collect_list("k")), 1, max_bucket).alias("ks")
+        F.count(F.lit(1)).alias("n_members"),
+        F.slice(F.array_sort(F.collect_list("k")), 1, max_bucket).alias("ks"),
     )
     cand = (
         grouped.filter(F.size("ks") > 1)
@@ -372,9 +388,15 @@ def embedding_near_dup_pairs(
     )
     va = bucketed.select(F.col("k").alias("a"), F.col("v").alias("va"))
     vb = bucketed.select(F.col("k").alias("b"), F.col("v").alias("vb"))
-    return (
+    pairs = (
         cand.join(va, "a")
         .join(vb, "b")
         .select("a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+    if return_truncation:
+        truncation = grouped.filter(F.col("n_members") > max_bucket).select(
+            "bucket", "n_members", F.lit(max_bucket).alias("kept")
+        )
+        return pairs, truncation
+    return pairs

@@ -189,6 +189,51 @@ def test_ivf_assign_reassignment_replaces_on_both_paths(spark):
         assert got[0] == 8 and got[4] == 7
 
 
+def test_ivf_assign_cent_id_position_matches_across_paths(spark):
+    # round-4 ADVICE #1: re-assignment must keep an existing centroid_id
+    # column at its ORIGINAL schema position on BOTH size-selected paths —
+    # a positional consumer (union by position, fixed-schema mapInPandas)
+    # must see one schema regardless of model size vs max_inline
+    df = _vecs(spark).select(
+        "vec_id", F.lit(0).cast("long").alias("centroid_id"), "embedding"
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    inline_cols = ivf_assign(df, cents).columns
+    pandas_cols = ivf_assign(df, cents, max_inline=1).columns
+    assert inline_cols == pandas_cols == ["vec_id", "centroid_id", "embedding"]
+    # fresh assignment (no pre-existing column) appends identically too
+    assert (
+        ivf_assign(_vecs(spark), cents).columns
+        == ivf_assign(_vecs(spark), cents, max_inline=1).columns
+    )
+
+
+def test_hyperplane_lsh_truncation_companion(spark):
+    # round-4 ADVICE #2: the bucket cap must be observable — oversized
+    # buckets are reported as (bucket, n_members, kept); no truncation →
+    # empty companion; pairs identical with/without the companion request
+    m = 30
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(m)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs, trunc = embedding_near_dup_pairs(
+        df, n_planes=8, min_cosine=0.95, max_bucket=5, return_truncation=True
+    )
+    t = trunc.collect()
+    assert len(t) == 1 and t[0]["n_members"] == m and t[0]["kept"] == 5
+    plain = embedding_near_dup_pairs(df, n_planes=8, min_cosine=0.95, max_bucket=5)
+    key = lambda r: (r["a"], r["b"])  # noqa: E731
+    assert sorted(map(key, pairs.collect())) == sorted(map(key, plain.collect()))
+    _, none_trunc = embedding_near_dup_pairs(
+        df, n_planes=8, min_cosine=0.95, max_bucket=1000, return_truncation=True
+    )
+    assert none_trunc.count() == 0
+
+
 def test_train_centroids_deterministic(spark):
     df = _vecs(spark)
     a = train_centroids_lite(df, dim=4, n_centroids=2, iters=2)
