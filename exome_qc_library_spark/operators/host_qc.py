@@ -48,6 +48,15 @@ def host_metrics(
     batch-homogeneous in the crawl metadata model; a host appearing in two
     batches yields one metrics row per (host, batch), matching the
     reference's per-batch sample strata, ``shared/samples_qc.py:408-430``).
+
+    Emits per measure: mean, sample stddev, min, max (round-4 VERDICT #7
+    — the reference's per-sample QC struct carries dispersion and
+    extreme-value fields consumed downstream,
+    ``shared/samples_qc.py:218-224,277``). The stddev recombines exactly
+    from sum-of-squares partials — ``(Σx² − (Σx)²/n)/(n−1)`` over the
+    salted partials — so the stage stays O(1) jobs; single-observation
+    hosts yield NULL (sample variance undefined), and the numerator is
+    clamped at 0 against float cancellation on near-constant measures.
     """
     keys = ["host"] + ([batch_col] if batch_col else [])
     base = df.withColumns(
@@ -56,14 +65,29 @@ def host_metrics(
     partial = base.groupBy(*keys, "__salt").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(m).alias(f"sum_{m}") for m in measures],
+        *[F.sum(F.col(m).cast("double") * F.col(m)).alias(f"ssq_{m}") for m in measures],
         *[F.count(m).alias(f"cnt_{m}") for m in measures],
+        *[F.min(m).alias(f"pmin_{m}") for m in measures],
+        *[F.max(m).alias(f"pmax_{m}") for m in measures],
     )
+
+    def _sd(m: str):
+        n = F.sum(f"cnt_{m}")
+        s = F.sum(f"sum_{m}").cast("double")
+        q = F.sum(f"ssq_{m}")
+        return F.when(
+            n > 1, F.sqrt(F.greatest(q - s * s / n, F.lit(0.0)) / (n - 1))
+        )
+
     final = partial.groupBy(*keys).agg(
         F.sum("n").alias("n_docs"),
         *[
             (F.sum(f"sum_{m}") / F.sum(f"cnt_{m}")).alias(f"mean_{m}")
             for m in measures
         ],
+        *[_sd(m).alias(f"sd_{m}") for m in measures],
+        *[F.min(f"pmin_{m}").alias(f"min_{m}") for m in measures],
+        *[F.max(f"pmax_{m}").alias(f"max_{m}") for m in measures],
     )
     return final
 
@@ -75,8 +99,11 @@ def host_outlier_stats(
 ) -> DataFrame:
     """μ/σ of each host-mean measure, per batch (or globally): one grouped
     aggregation producing a #batches-row table — the broadcast side."""
+    # across-host σ is aliased sigma_ (not sd_): host_metrics now carries a
+    # WITHIN-host sd_{m} column, and the broadcast join back onto it must
+    # not collide
     aggs = [F.avg(f"mean_{m}").alias(f"mu_{m}") for m in measures] + [
-        F.stddev_samp(f"mean_{m}").alias(f"sd_{m}") for m in measures
+        F.stddev_samp(f"mean_{m}").alias(f"sigma_{m}") for m in measures
     ]
     if batch_col:
         return hm.groupBy(batch_col).agg(*aggs)
@@ -120,7 +147,7 @@ def flag_host_outliers(
         scored = hm.crossJoin(F.broadcast(stats))
     outlier_cond = None
     for m in measures:
-        mu, sd = F.col(f"mu_{m}"), F.col(f"sd_{m}")
+        mu, sd = F.col(f"mu_{m}"), F.col(f"sigma_{m}")
         # degenerate-σ guard: a measure that is (near-)constant across hosts
         # has σ at float-noise scale, and ANY ulp-level difference between
         # host means would flag — require σ meaningfully above the noise

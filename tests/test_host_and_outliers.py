@@ -26,6 +26,31 @@ def test_host_metrics_salted_agg(spark):
     assert m["weird.com"]["n_docs"] == 6
     assert m["weird.com"]["mean_word_count"] == 10000.0
     assert abs(m["normal0.com"]["mean_word_count"] - 102.0) < 5
+    # round-4 VERDICT #7: dispersion + extremes recombine exactly across
+    # the salted partials — constant host → sd 0, min == max
+    assert m["weird.com"]["sd_word_count"] == 0.0
+    assert (m["weird.com"]["min_word_count"], m["weird.com"]["max_word_count"]) == (
+        10000,
+        10000,
+    )
+    # normal0.com sees word_counts {100..104} at i%8==0 → spread present
+    assert m["normal0.com"]["sd_word_count"] > 0
+    assert m["normal0.com"]["min_word_count"] >= 100
+    assert m["normal0.com"]["max_word_count"] <= 104
+
+
+def test_host_metrics_sd_matches_stddev_samp(spark):
+    # the sum-of-squares recombination must equal the single-pass
+    # stddev_samp on the same data (exact integer inputs)
+    df = _docs(spark).withColumn("host", F.lower(F.regexp_extract("url", r"https://([^/]+)/", 1)))
+    want = {
+        r["host"]: r["sd"]
+        for r in df.groupBy("host").agg(F.stddev_samp("word_count").alias("sd")).collect()
+    }
+    got = {r["host"]: r["sd_word_count"] for r in host_metrics(_docs(spark)).collect()}
+    assert set(got) == set(want)
+    for h in got:
+        assert abs(got[h] - want[h]) < 1e-9, h
 
 
 def test_flag_host_outliers(spark):
