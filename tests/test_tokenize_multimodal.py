@@ -163,7 +163,21 @@ def test_media_dims_png_jpeg_expressions(spark):
                  + b"WEBPVP8X" + (10).to_bytes(4, "little") + b"\x00\x00\x00\x00"
                  + (639).to_bytes(3, "little") + (199999).to_bytes(3, "little")),
         ("webp_lossy", bytes.fromhex("52494646") + (70).to_bytes(4, "little")
-                 + b"WEBPVP8 " + b"\x00" * 20),  # simple format: dims in bitstream → NULL
+                 + b"WEBPVP8 " + b"\x00" * 20),  # no 9D012A keyframe start code → NULL
+        # VP8 lossy-simple KEYFRAME: chunk header + frame tag + start code,
+        # 14-bit LE dims with NONZERO rescale bits (top 2) the parser must mask
+        ("webp_vp8", bytes.fromhex("52494646") + (70).to_bytes(4, "little")
+                 + b"WEBPVP8 " + (30).to_bytes(4, "little") + b"\x00\x00\x00"
+                 + bytes.fromhex("9D012A")
+                 + (800 + 1 * 16384).to_bytes(2, "little")      # scale=1
+                 + (600 + 3 * 16384).to_bytes(2, "little")),    # scale=3
+        # VP8L lossless: 2F signature + LE uint32 packing (w-1) | (h-1)<<14
+        ("webp_vp8l", bytes.fromhex("52494646") + (25).to_bytes(4, "little")
+                 + b"WEBPVP8L" + (5).to_bytes(4, "little") + b"\x2f"
+                 + ((1999) | (1499 << 14)).to_bytes(4, "little")),
+        ("webp_vp8l_badsig", bytes.fromhex("52494646") + (25).to_bytes(4, "little")
+                 + b"WEBPVP8L" + (5).to_bytes(4, "little") + b"\x30"
+                 + ((1999) | (1499 << 14)).to_bytes(4, "little")),
         ("junk", b"not an image at all"),
         ("trunc_png", bytes.fromhex("89504E470D0A1A0A0000")),
         ("null", None),
@@ -185,6 +199,9 @@ def test_media_dims_png_jpeg_expressions(spark):
     assert got["trunc_gif"] is None
     assert got["webp_x"] == (640, 200000)  # 24-bit little-endian + 1
     assert got["webp_lossy"] is None
+    assert got["webp_vp8"] == (800, 600)  # rescale bits masked off
+    assert got["webp_vp8l"] == (2000, 1500)  # 14+14-bit LE unpack, +1
+    assert got["webp_vp8l_badsig"] is None
     assert got["junk"] is None
     assert got["trunc_png"] is None
     assert got["null"] is None
@@ -208,9 +225,45 @@ def test_jpeg_dims_marker_walk_is_bounded(spark):
         + bytes.fromhex("03011100021101031101")
     )
     df = spark.createDataFrame([("j", payload)], "id string, payload binary")
-    r16 = with_media_dims(df, bin_col="payload").collect()[0]["media_dims"]
-    assert r16 is None  # 20 hops > default 16-segment bound
-    r32 = with_media_dims(df, bin_col="payload", max_segments=32).collect()[0][
+    r16 = with_media_dims(df, bin_col="payload", max_segments=16).collect()[0][
         "media_dims"
     ]
-    assert (r32["width"], r32["height"]) == (77, 99)
+    assert r16 is None  # 20 hops > a 16-segment bound → NULL, never wrong dims
+    r32 = with_media_dims(df, bin_col="payload").collect()[0]["media_dims"]
+    assert (r32["width"], r32["height"]) == (77, 99)  # default 32 hops finds it
+
+
+def test_jpeg_dims_behind_exif_app1(spark):
+    # round-4 VERDICT #4: real camera/web JPEGs park a 10-20 KB APP1/EXIF
+    # segment (embedded thumbnail) before the SOF; the new 64 KB scan /
+    # 32-hop defaults must resolve dims where the old 2 KB window could not
+    from exome_qc_library_spark.operators.multimodal import with_media_dims
+
+    exif = bytes.fromhex("FFE1") + (15000 + 2).to_bytes(2, "big") + b"E" * 15000
+    payload = (
+        bytes.fromhex("FFD8")
+        + exif
+        + bytes.fromhex("FFC0001108")
+        + (3024).to_bytes(2, "big")
+        + (4032).to_bytes(2, "big")
+        + bytes.fromhex("03011100021101031101")
+    )
+    df = spark.createDataFrame([("j", payload)], "id string, payload binary")
+    new = with_media_dims(df, bin_col="payload").collect()[0]["media_dims"]
+    assert (new["width"], new["height"]) == (4032, 3024)
+    old = with_media_dims(df, bin_col="payload", scan_bytes=2048).collect()[0][
+        "media_dims"
+    ]
+    assert old is None  # the old default could not reach past the EXIF blob
+
+
+def test_media_dims_temp_column_collision_safe(spark):
+    # round-4 ADVICE #4: a user column literally named __hx must survive
+    from exome_qc_library_spark.operators.multimodal import with_media_dims
+
+    df = spark.createDataFrame(
+        [("a", _png_bytes(12, 34), "keepme")], "id string, payload binary, __hx string"
+    )
+    out = with_media_dims(df, bin_col="payload").collect()[0]
+    assert out["__hx"] == "keepme"
+    assert (out["media_dims"]["width"], out["media_dims"]["height"]) == (12, 34)
