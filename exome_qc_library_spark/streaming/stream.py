@@ -106,6 +106,44 @@ def streaming_host_counters(flagged: DataFrame, flag_col: str = "low_pass_failin
     )
 
 
+def streaming_exact_dedup(
+    pages: DataFrame,
+    text_col: str = "text",
+    key_col: str = "url",
+    time_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup: keep the first-arrived copy of each
+    content hash, drop later arrivals — the streaming plane of the batch
+    :func:`~..operators.dedup.flag_exact_duplicates` (round-4 VERDICT #6:
+    dedup was the one curation operator with no streaming composition).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the 256-bit
+    content hash; each micro-batch shuffles once on that uniform key and
+    state older than the event-time watermark is evicted, so state is
+    bounded by the watermark horizon × ingest rate — never the full
+    corpus (the property that matters at 10^12 docs; an unbounded
+    ``dropDuplicates`` would OOM the state store). First-arrived ≡ the
+    batch operator's earliest-``warc_ts`` winner whenever ingest is
+    time-ordered (the append-only snapshot layout this engine targets);
+    the equivalence is pinned in tests over a multi-file stream and
+    across a checkpointed restart. NULL-text rows are never deduplicated
+    (their state key falls back to the unique ``key_col``), matching the
+    batch operator's NULL handling.
+    """
+    from ..functions.hashing import exact_content_hash
+
+    state_key = F.when(
+        F.col(text_col).isNotNull(), exact_content_hash(F.col(text_col))
+    ).otherwise(F.concat(F.lit("__null__:"), F.col(key_col)))
+    return (
+        pages.withColumn("__chash", state_key)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__chash"])
+        .drop("__chash")
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, src_path: str, name: str = "stream_out") -> DataFrame:
     """Drive a bounded file stream to completion synchronously (test/demo)."""
     q = (
