@@ -86,6 +86,25 @@ def flag_entry(tag: str, pred: Column, inputs: Iterable[Column] | None = None) -
     return expr
 
 
+VOCAB_KEY = "flag_vocab"
+
+
+def flag_vocab(df: DataFrame, flag_col: str) -> list[str] | None:
+    """The statically-known tag vocabulary of a flag column, or None.
+
+    :func:`add_flags` records every tag it can emit as column metadata
+    (parquet round-trips preserve it), so downstream accounting can count
+    all flags with fixed aggregate expressions — e.g. inside the
+    checkpoint-write job via ``df.observe`` — instead of a second full
+    scan (``plans/pipeline.py``)."""
+    try:
+        md = df.schema[flag_col].metadata
+    except KeyError:
+        return None
+    vocab = md.get(VOCAB_KEY)
+    return list(vocab) if vocab is not None else None
+
+
 def add_flags(
     df: DataFrame,
     flag_col: str,
@@ -100,12 +119,26 @@ def add_flags(
     All rules are evaluated as independent nullable entries of a single
     array literal, NULLs filtered out, then concatenated onto the existing
     accumulator — O(rules) expression size, one ``withColumn``.
+
+    Every tag this call can emit (incl. the ``missing_*`` variants) is
+    appended to the column's ``flag_vocab`` metadata — the auditable rule
+    inventory that lets per-stage accounting run as observed metrics of
+    the materialization job itself (see :func:`flag_vocab`).
     """
     df = with_flag_column(df, flag_col)
     missing_inputs = missing_inputs or {}
     entries = [flag_entry(t, p, missing_inputs.get(t)) for t, p in rules.items()]
     new_flags = F.filter(F.array(*entries), lambda x: x.isNotNull())
-    return df.withColumn(flag_col, F.concat(F.col(flag_col), new_flags))
+    out = df.withColumn(flag_col, F.concat(F.col(flag_col), new_flags))
+    md = dict(df.schema[flag_col].metadata)
+    vocab = list(md.get(VOCAB_KEY, []))
+    for t in rules:
+        if t not in vocab:
+            vocab.append(t)
+        if missing_inputs.get(t) and f"missing_{t}" not in vocab:
+            vocab.append(f"missing_{t}")
+    md[VOCAB_KEY] = vocab
+    return out.withMetadata(flag_col, md)
 
 
 def passes(flag_col: str) -> Column:

@@ -17,9 +17,73 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..functions.flags import flag_count_df
+from ..functions.flags import flag_count_df, flag_vocab
 from ..sources.checkpoint import CheckpointStore
+
+
+def _attach_accounting_observation(out: DataFrame, acct_cols: tuple[str, ...]):
+    """Fold per-stage flag accounting into the checkpoint-write job.
+
+    When every accounted flag column carries a ``flag_vocab`` (recorded by
+    ``add_flags`` as column metadata), the per-tag occurrence counts are
+    fixed aggregate expressions — so they ride the materialization job as
+    observed metrics (``df.observe``) instead of costing a second full
+    scan per column afterwards. At 100 TB that removes two terminal-table
+    scans per stage; on the bench it removes the accounting jobs + their
+    driver gaps from the serial tail (round-5 job census, BENCH.md).
+
+    Returns ``(observed_df, observation, plan)`` where ``plan`` maps each
+    column to its (tag → metric alias) table, or ``(out, None, {})`` when
+    any column lacks a vocabulary (generic stages keep the scan path).
+    """
+    from pyspark.sql import Observation
+
+    def _eq(tag):
+        # a (x, _t=tag) default-arg lambda would be read by F.filter as the
+        # two-arg (element, index) form — close over the tag instead
+        return lambda x: x == F.lit(tag)
+
+    aggs, plan = [], {}
+    for ci, ac in enumerate(acct_cols):
+        vocab = flag_vocab(out, ac)
+        if vocab is None:
+            return out, None, {}
+        sz = F.coalesce(F.size(F.col(ac)), F.lit(0))
+        tag_alias = {}
+        for ti, t in enumerate(vocab):
+            a = f"c{ci}_t{ti}"
+            tag_alias[t] = a
+            aggs.append(F.sum(F.size(F.filter(F.col(ac), _eq(t)))).alias(a))
+        aggs.append(F.count_if(sz == 0).alias(f"c{ci}_empty"))
+        aggs.append(F.sum(sz).alias(f"c{ci}_total"))
+        plan[ac] = (ci, tag_alias)
+    obs = Observation()
+    return out.observe(obs, *aggs), obs, plan
+
+
+def _accounting_df_from_metrics(
+    df: DataFrame, metrics: dict, ci: int, tag_alias: dict[str, str]
+) -> DataFrame | None:
+    """Rebuild the ``flag_count_df`` table from observed metrics; None when
+    the per-tag sums don't reconcile with the observed occurrence total
+    (an out-of-vocabulary tag slipped in → caller reruns the scan path)."""
+    counts = {t: int(metrics.get(a) or 0) for t, a in tag_alias.items()}
+    if sum(counts.values()) != int(metrics.get(f"c{ci}_total") or 0):
+        return None
+    rows = [(t, n) for t, n in counts.items() if n > 0]
+    empty = int(metrics.get(f"c{ci}_empty") or 0)
+    if empty > 0:
+        rows.append((None, empty))  # explode_outer's NULL row for flagless docs
+    schema = T.StructType(
+        [
+            T.StructField("flag", T.StringType(), True),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 @dataclass
@@ -98,6 +162,20 @@ class Pipeline:
             else:
                 out = st.fn(df)
                 if st.materialize:
+                    acct_cols = tuple(
+                        ac
+                        for ac in (
+                            (st.account_flags,)
+                            if isinstance(st.account_flags, str)
+                            else (st.account_flags or ())
+                        )
+                        if ac in out.columns
+                    )
+                    obs, obs_plan = None, {}
+                    if acct_cols:
+                        out, obs, obs_plan = _attach_accounting_observation(
+                            out, acct_cols
+                        )
                     # row counting is one extra job per checkpoint; only the
                     # terminal stage needs it for the manifest (intermediate
                     # row counts are recoverable from parquet footers)
@@ -110,15 +188,15 @@ class Pipeline:
                         count_rows=is_last,
                     )
                     pending_params = {}
-                    acct_cols = (
-                        (st.account_flags,)
-                        if isinstance(st.account_flags, str)
-                        else (st.account_flags or ())
-                    )
+                    obs_metrics = obs.get if obs is not None else {}
                     for ac_i, ac in enumerate(acct_cols):
-                        if ac not in df.columns:
-                            continue
-                        acct = flag_count_df(df, ac)
+                        acct = None
+                        if ac in obs_plan:
+                            acct = _accounting_df_from_metrics(
+                                df, obs_metrics, *obs_plan[ac]
+                            )
+                        if acct is None:
+                            acct = flag_count_df(df, ac)
                         suffix = "" if ac_i == 0 else f"_{ac}"
                         self.store.write(
                             acct,

@@ -47,6 +47,13 @@ def build_session(
         # box (128 GiB here). An 8g heap at local[32] GC-thrashes: measured
         # SLOWER than local[8] on a 200k-doc run before this was raised.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # checkpoint/export parquet codec. Text-heavy tables are where the
+        # bytes are; on a bandwidth-bound host a denser codec trades cheap
+        # CPU for the scarce resource (measured A/B in BENCH.md round 5).
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -75,3 +75,25 @@ def test_flag_count_df_grouped(spark):
     }
     assert rows[("big",)] == 1
     assert rows[(None,)] == 3  # explode_outer keeps unflagged rows
+
+
+def test_flag_vocab_metadata_accumulates_and_survives_parquet(spark, tmp_path):
+    # add_flags records every emittable tag (incl. missing_* variants) as
+    # column metadata; a second call extends it; parquet round-trips keep it
+    from exome_qc_library_spark.functions.flags import flag_vocab
+
+    df = add_flags(
+        _df(spark),
+        "fl",
+        {"too_big": F.col("metric") > 50},
+        missing_inputs={"too_big": [F.col("metric")]},
+    )
+    assert flag_vocab(df, "fl") == ["too_big", "missing_too_big"]
+    df = add_flags(df, "fl", {"bad_label": F.col("label") == "b"})
+    assert flag_vocab(df, "fl") == ["too_big", "missing_too_big", "bad_label"]
+    p = str(tmp_path / "vocab_roundtrip")
+    df.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert flag_vocab(back, "fl") == ["too_big", "missing_too_big", "bad_label"]
+    # a plain column has no vocabulary
+    assert flag_vocab(df, "label") is None

@@ -221,3 +221,62 @@ def test_from_stage_forces_recompute(pipeline_out):
 
     with pytest.raises(ValueError, match="unknown stage"):
         pipe.run(pages, from_stage="nope")
+
+
+def test_observation_accounting_matches_scan_and_falls_back(spark, pages):
+    # round-5: per-stage flag accounting rides the checkpoint-write job as
+    # observed metrics when the column carries a flag_vocab (no second
+    # scan); an out-of-vocabulary tag breaks reconciliation and the runner
+    # falls back to the explode+groupBy scan — both paths must emit the
+    # exact flag_count_df multiset, including the NULL row for flagless docs
+    from exome_qc_library_spark.functions.flags import add_flags, flag_count_df
+    from exome_qc_library_spark.plans.pipeline import Pipeline, Stage
+
+    def _counts(df):
+        return sorted(
+            ((r["flag"], r["n"]) for r in df.collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+
+    def _flag_stage(df):
+        return add_flags(
+            df.select("url", "text"),
+            "fl",
+            {
+                "short": F.length("text") < 40,
+                # fires twice per matching doc is impossible via add_flags;
+                # occurrence semantics are covered by the rogue stage below
+                "has_digit": F.col("text").rlike("[0-9]"),
+            },
+        )
+
+    root = tempfile.mkdtemp(prefix="ckpt_obs_acct_")
+    try:
+        store = CheckpointStore(spark, root)
+        pipe = Pipeline([Stage("obs", _flag_stage, account_flags="fl")], store)
+        out = pipe.run(pages)
+        acct = store.read("obs__flag_counts")
+        assert _counts(acct) == _counts(flag_count_df(out, "fl"))
+
+        # rogue append bypasses add_flags → vocab incomplete → reconcile
+        # fails → scan fallback still records the rogue tag (twice per doc,
+        # pinning occurrence — not membership — semantics)
+        def _rogue(df):
+            df = _flag_stage(df)
+            return df.withColumn(
+                "fl",
+                F.when(
+                    F.col("url").endswith("0"),
+                    F.concat(F.col("fl"), F.array(F.lit("rogue"), F.lit("rogue"))),
+                ).otherwise(F.col("fl")),
+            )
+
+        store2 = CheckpointStore(spark, root + "_rogue")
+        out2 = Pipeline([Stage("obs", _rogue, account_flags="fl")], store2).run(pages)
+        acct2 = store2.read("obs__flag_counts")
+        expect2 = _counts(flag_count_df(out2, "fl"))
+        assert _counts(acct2) == expect2
+        assert ("rogue", next(n for f, n in expect2 if f == "rogue")) in _counts(acct2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "_rogue", ignore_errors=True)
