@@ -87,6 +87,21 @@ def _executor_cpu_seconds(spark) -> float | None:
         return None
 
 
+def _host_cpu_jiffies() -> dict[str, int] | None:
+    """Aggregate host CPU jiffies by kind from ``/proc/stat``. Deltas around
+    the pipeline classify each run in place: a healthy run is user-dominated;
+    the bimodal kernel-storm mode this box exhibits (round-5 BENCH.md) shows
+    ``system`` at 20-30 cores. Emitting the split with every number means no
+    bench result needs a separate probe to be trusted or discarded."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        keys = ("user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal")
+        return dict(zip(keys, (int(x) for x in parts[1:9])))
+    except Exception:  # noqa: BLE001 — bench must not die on a missing procfs
+        return None
+
+
 def main() -> None:
     from exome_qc_library_spark.entry_queries import QUERIES
     from exome_qc_library_spark.plans.quality_pipeline import build_quality_pipeline
@@ -145,15 +160,21 @@ def main() -> None:
             ).write.mode("overwrite").parquet(os.path.join(pages_dir, "pages"))
             pages = spark.read.parquet(os.path.join(pages_dir, "pages"))
         cpu0 = _executor_cpu_seconds(spark)
+        host0 = _host_cpu_jiffies()
         t0 = time.monotonic()
         pipe = build_quality_pipeline(CheckpointStore(spark, ckpt_dir))
         out = pipe.run(pages)
         n_docs = out.count()
         pipeline_sec = time.monotonic() - t0
         cpu1 = _executor_cpu_seconds(spark)
+        host1 = _host_cpu_jiffies()
         pipeline_cpu = (
             round(cpu1 - cpu0, 3) if cpu0 is not None and cpu1 is not None else None
         )
+        host_cpu = None
+        if host0 is not None and host1 is not None:
+            tick = os.sysconf("SC_CLK_TCK") or 100
+            host_cpu = {k: round((host1[k] - host0[k]) / tick, 1) for k in host0}
         timings["pipeline_e2e"] = round(pipeline_sec, 3)
         docs_per_sec = round(n_docs / pipeline_sec, 1)
         # stage-level breakdown (round-3 VERDICT #6): lazy stages register
@@ -178,6 +199,7 @@ def main() -> None:
                 "pipeline_docs": n_docs,
                 "pipeline_docs_per_sec": docs_per_sec,
                 "pipeline_cpu_sec": pipeline_cpu,
+                "host_cpu_sec": host_cpu,
                 "parallelism": CPUS,
             }
         )

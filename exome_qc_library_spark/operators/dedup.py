@@ -88,29 +88,62 @@ def flag_exact_duplicates(
 
 
 def _minhash_sig_udf(num_perm: int, seed: int = 42):
-    """Vectorized signature kernel: per Arrow batch, numpy computes all
-    permutations of a row at once — ((h·a + b) mod P).min(axis=1) over a
-    (perm × shingles) matrix. ~100× the interpreted higher-order-function
-    path measured at 50k docs; base hashes stay JVM-side (xxhash64)."""
+    """Vectorized signature kernel: per Arrow batch, ALL rows' base hashes
+    are flattened into one array, the affine permutation family
+    ((h·a + b) mod P) is applied to cache-sized chunks, and per-row minima
+    come from one ``np.minimum.reduceat`` over the row offsets — no Python
+    loop in the hot path. Round-5 profile: the per-row-loop predecessor was
+    ~2/3 of the whole sketch step (the fattest sub-step of the fattest
+    pipeline stage); batch-flattening removes the per-row interpreter and
+    temporary-allocation overhead while producing IDENTICAL signatures.
+    Base hashes stay JVM-side (xxhash64)."""
     from ..functions.hashing import _MH_PRIME, _mh_params
 
     params = _mh_params(num_perm, seed)
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    # rows are processed in chunks of <= CHUNK_HASHES flattened hashes so the
+    # (num_perm × chunk) intermediate stays ~tens of MB (cache/alloc friendly)
+    chunk_hashes = max(1, 2_097_152 // num_perm)
 
     @F.pandas_udf("array<long>")
     def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for hs_col in it:
-            out = []
-            for hs in hs_col:
-                if hs is None or len(hs) == 0:
-                    out.append(None)
-                    continue
-                h = np.asarray(hs, dtype=np.int64)[None, :]
-                out.append(((h * a + b) % _MH_PRIME).min(axis=1).tolist())
-            yield pd.Series(out)
+            yield pd.Series(
+                _minhash_sig_batch(hs_col.values, a, b, chunk_hashes), dtype=object
+            )
 
     return _sig
+
+
+def _minhash_sig_batch(vals, a, b, chunk_hashes: int) -> list:
+    """One Arrow batch of base-hash arrays → list of signature lists
+    (None preserved for None/empty rows). Separated from the UDF closure so
+    the chunk-boundary logic is unit-testable with a tiny ``chunk_hashes``."""
+    from ..functions.hashing import _MH_PRIME
+
+    out: list = [None] * len(vals)
+    idx = [i for i, v in enumerate(vals) if v is not None and len(v) > 0]
+    if not idx:
+        return out
+    arrs = [np.asarray(vals[i], dtype=np.int64) for i in idx]
+    lens = np.fromiter((x.size for x in arrs), dtype=np.int64, count=len(arrs))
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    flat = np.concatenate(arrs)
+    row = 0
+    while row < len(arrs):
+        end = row
+        while end < len(arrs) and starts[end + 1] - starts[row] <= chunk_hashes:
+            end += 1
+        end = max(end, row + 1)  # a single over-sized row still goes through
+        seg = flat[starts[row] : starts[end]]
+        m = (seg[None, :] * a + b) % _MH_PRIME  # (num_perm, T)
+        offs = starts[row:end] - starts[row]
+        mins = np.minimum.reduceat(m, offs, axis=1)  # (num_perm, rows)
+        for j in range(end - row):
+            out[idx[row + j]] = mins[:, j].tolist()
+        row = end
+    return out
 
 
 def minhash_candidate_pairs(

@@ -56,6 +56,15 @@ def build_session(
         )
         .config("spark.ui.enabled", "false")
     )
+    # extra JVM flags for the driver (= the executor JVM in local mode),
+    # applied only when this process is about to LAUNCH the JVM — they are
+    # launch-time-only options and cannot affect an already-running gateway.
+    # Primary use: -XX:+AlwaysPreTouch (pre-fault the heap at startup so
+    # steady-state execution stops taking page faults under mmap_lock — the
+    # round-5 kernel-storm diagnosis, BENCH.md).
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts and not SparkSession.getActiveSession():
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

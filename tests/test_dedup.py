@@ -74,6 +74,39 @@ def test_arithmetic_minhash_agrees_with_production(spark):
     assert not any("u4" in p for p in prod) and not any("u4" in p for p in arith)
 
 
+def test_minhash_batch_kernel_matches_naive_per_row():
+    # the flattened reduceat kernel (round-5: removes the per-row Python
+    # loop that profiled at ~2/3 of the sketch step) must produce
+    # signatures IDENTICAL to the naive per-row formula, at every chunk
+    # size — including chunks that split mid-batch and a single row larger
+    # than the whole chunk budget — and preserve None/empty rows as None
+    import numpy as np
+
+    from exome_qc_library_spark.functions.hashing import _MH_PRIME, _mh_params
+    from exome_qc_library_spark.operators.dedup import _minhash_sig_batch
+
+    params = _mh_params(8, seed=42)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    rng = np.random.default_rng(7)
+    vals = [
+        rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, size=n).tolist()
+        if n is not None
+        else None
+        for n in (5, None, 0, 13, 1, 40, 7, None, 2)
+    ]
+    expected = []
+    for v in vals:
+        if v is None or len(v) == 0:
+            expected.append(None)
+        else:
+            h = np.asarray(v, dtype=np.int64)[None, :]
+            expected.append(((h * a + b) % _MH_PRIME).min(axis=1).tolist())
+    for chunk in (1, 3, 8, 17, 10**9):  # chunk=1 forces the oversized-row path
+        got = _minhash_sig_batch(np.array(vals, dtype=object), a, b, chunk)
+        assert got == expected, f"chunk_hashes={chunk}"
+
+
 def test_flag_near_duplicates_earliest_representative(spark):
     out = flag_near_duplicates(_docs(spark), threshold=0.5)
     flags = {r["url"]: r["final_failing_qc"] for r in out.collect()}

@@ -152,6 +152,24 @@ spark.stop()
     return float(line.split()[1])
 
 
+def _storm_cores(r: dict) -> float | None:
+    """Average cores of host *kernel* time during the run (from bench.py's
+    ``host_cpu_sec`` /proc/stat deltas). This box has a bimodal kernel-storm
+    mode (BENCH.md round 5) where sys time runs at 15-30 cores for minutes;
+    a leg caught in one measures the storm, not the engine. None when the
+    run predates the counter."""
+    host = r.get("host_cpu_sec")
+    wall = r.get("queries", {}).get("pipeline_e2e")
+    if not host or not wall:
+        return None
+    return host.get("system", 0.0) / wall
+
+
+def _is_storm(r: dict, threshold: float = 4.0) -> bool | None:
+    c = _storm_cores(r)
+    return None if c is None else c > threshold
+
+
 def main() -> None:
     # this sandbox shares the machine with other tenants (observed 5×
     # run-to-run swings); interleaved repeats + per-level MINIMUM
@@ -182,14 +200,28 @@ def main() -> None:
                         "level": n,
                         "pipeline_sec": r["queries"]["pipeline_e2e"],
                         "pipeline_cpu_sec": r.get("pipeline_cpu_sec"),
+                        "sys_cores": (
+                            round(_storm_cores(r), 1)
+                            if _storm_cores(r) is not None
+                            else None
+                        ),
+                        "storm": _is_storm(r),
                         "load_at_start": round(load0, 2),
                         "load_now": round(os.getloadavg()[0], 2),
                     }
                 ),
                 flush=True,
             )
+    # per-level minima over storm-free legs when any exist (a leg caught in
+    # a kernel storm measures the storm, not the engine); fall back to all
+    # legs so the report never goes empty on an all-storm campaign
+    def _clean(rs: list[dict]) -> list[dict]:
+        ok = [r for r in rs if _is_storm(r) is not True]
+        return ok or rs
+
     results = {
-        n: min(rs, key=lambda r: r["queries"]["pipeline_e2e"]) for n, rs in runs.items()
+        n: min(_clean(rs), key=lambda r: r["queries"]["pipeline_e2e"])
+        for n, rs in runs.items()
     }
     n, m = LEVELS
     t_n = results[n]["queries"]["pipeline_e2e"]
@@ -203,7 +235,11 @@ def main() -> None:
     # parallelism); the wall-based raw eff stays the gate's number.
     cpu_min = {
         lv: min(
-            (r["pipeline_cpu_sec"] for r in rs if r.get("pipeline_cpu_sec")),
+            (
+                r["pipeline_cpu_sec"]
+                for r in _clean(rs)
+                if r.get("pipeline_cpu_sec")
+            ),
             default=None,
         )
         for lv, rs in runs.items()
@@ -235,6 +271,13 @@ def main() -> None:
         "cpu_work_conservation_ratio": cpu_ratio,
         "all_pipeline_secs": {
             str(k): [r["queries"]["pipeline_e2e"] for r in v] for k, v in runs.items()
+        },
+        "all_sys_cores": {
+            str(k): [
+                round(c, 1) if (c := _storm_cores(r)) is not None else None
+                for r in v
+            ]
+            for k, v in runs.items()
         },
         "full": results,
     }
@@ -271,7 +314,10 @@ def main() -> None:
                 f"checkpoints); per-level minimum reported — this sandbox is "
                 f"shared with other tenants and single runs swing up to 5×. "
                 f"Each pair fires the instant 1-min load < "
-                f"{os.environ.get('SPARK_GRAFT_QUIET_LOAD', '3.0')}. "
+                f"{os.environ.get('SPARK_GRAFT_QUIET_LOAD', '3.0')}. Legs whose "
+                f"/proc/stat delta shows > 4 cores of kernel time are marked "
+                f"storm-afflicted and excluded from the minima when a clean leg "
+                f"exists (all_sys_cores lists the per-leg kernel-time cores). "
                 f"All pipeline seconds:\n"
             )
             lines.append("```json")
