@@ -130,6 +130,13 @@ def _minhash_sig_batch(vals, a, b, chunk_hashes: int) -> list:
     lens = np.fromiter((x.size for x in arrs), dtype=np.int64, count=len(arrs))
     starts = np.concatenate(([0], np.cumsum(lens)))
     flat = np.concatenate(arrs)
+    # one reused buffer + out= ops: the kernel is bound by the (num_perm × T)
+    # intermediate's memory traffic and the remainder op (measured ~90% of
+    # kernel time; numpy's scalar-divisor remainder already uses a
+    # multiply-shift fast path, so there is no cheaper exact formulation —
+    # Mersenne folding and unique-hash dedup+gather both measured slower).
+    # In-place halves the temporary traffic: ~13% on realistic batches.
+    buf = np.empty((a.shape[0], min(chunk_hashes, flat.size)), dtype=np.int64)
     row = 0
     while row < len(arrs):
         end = row
@@ -137,7 +144,14 @@ def _minhash_sig_batch(vals, a, b, chunk_hashes: int) -> list:
             end += 1
         end = max(end, row + 1)  # a single over-sized row still goes through
         seg = flat[starts[row] : starts[end]]
-        m = (seg[None, :] * a + b) % _MH_PRIME  # (num_perm, T)
+        m = (
+            buf[:, : seg.size]
+            if seg.size <= buf.shape[1]
+            else np.empty((a.shape[0], seg.size), dtype=np.int64)
+        )
+        np.multiply(seg[None, :], a, out=m)
+        np.add(m, b, out=m)
+        np.remainder(m, _MH_PRIME, out=m)
         offs = starts[row:end] - starts[row]
         mins = np.minimum.reduceat(m, offs, axis=1)  # (num_perm, rows)
         for j in range(end - row):
