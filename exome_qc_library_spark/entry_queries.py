@@ -1093,6 +1093,36 @@ SELECT doc_id, lang AS meta_lang, source AS meta_source, n_chars AS size_chars
 FROM documents
 """
 
+
+def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 external-interchange export (plink-export analog): round-trip the
+    documents table through gzipped JSON-lines shards and return what an
+    external consumer would read back. The oracle is the identity SELECT —
+    a full value-hash match proves the export preserves every value
+    (including multi-line / non-ASCII text) byte-exactly through the
+    text-format hand-off. Read-back uses an explicit schema: inference on
+    an export is a trap (an all-null column would vanish)."""
+    import tempfile
+
+    from .sources.sinks import export_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="q_jsonl_export_") + "/docs"
+    export_jsonl(
+        docs,
+        path,
+        columns=("doc_id", "text", "lang", "source", "n_chars"),
+        keep_col=None,
+    )
+    return spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+
+
+_Q_JSONL_EXPORT_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
 # ------------------------------------------- round-2 oracle additions
 # (VERDICT.md next-steps #3/#4/#8: oracle rows for the operators that had
 # only pytest evidence, plus the media-metadata operator)
@@ -1810,6 +1840,7 @@ QUERIES.update(
         # dependent and are pinned by the determinism pytest instead.
         "pca_scores": (q_pca_scores, _Q_PCA_SQL),
         "flatten_export": (q_flatten_export, _Q_FLATTEN_SQL),
+        "jsonl_export": (q_jsonl_export, _Q_JSONL_EXPORT_SQL),
         "host_metrics": (q_host_metrics, _host_metrics_sql()),
         "host_outliers": (q_host_outliers, _host_outliers_sql()),
         "iterative_outliers": (q_iterative_outliers, _Q_ITER_OUTLIERS_SQL),

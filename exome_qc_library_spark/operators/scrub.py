@@ -64,12 +64,16 @@ def scrub_expr(text: Column, rules: tuple[ScrubRule, ...] = DEFAULT_RULES) -> Co
 
 
 def pii_hits_expr(text: Column, rules: tuple[ScrubRule, ...] = DEFAULT_RULES) -> Column:
-    """Total count of scrubbable spans (metric column, pre-scrub)."""
+    """Total count of scrubbable spans (metric column, pre-scrub).
+
+    ``regexp_count`` rather than ``size(regexp_extract_all(...))``: the
+    count of non-overlapping matches is identical, but the counting form
+    never materializes the matched substrings or the array holding them —
+    this column is computed over EVERY document (keepers and dropped), so
+    per-match allocations are pure garbage at corpus scale."""
     total = F.lit(0)
     for r in rules:
-        total = total + F.coalesce(
-            F.size(F.regexp_extract_all(text, F.lit(f"({r.regex})"), 1)), F.lit(0)
-        )
+        total = total + F.coalesce(F.regexp_count(text, F.lit(r.regex)), F.lit(0))
     return F.when(text.isNotNull(), total.cast("long"))
 
 

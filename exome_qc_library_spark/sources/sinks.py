@@ -62,6 +62,46 @@ def export_tsv(df: DataFrame, path: str, compress: bool = True, single_file: boo
     return path
 
 
+#: default interchange schema for downstream training-data consumers
+JSONL_EXPORT_COLUMNS = ("url", "warc_ts", "lang_id", "quality_score", "scrubbed_text")
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    columns: tuple[str, ...] | None = None,
+    keep_col: str | None = "keep",
+    compress: bool = True,
+    partition_by: tuple[str, ...] = (),
+) -> str:
+    """S9 analog: interchange export for an EXTERNAL downstream consumer.
+
+    The reference's plink export hands the LD-pruned survivor subset to an
+    external tool in that tool's fixed schema
+    (``/root/reference/kinship_calculation/find_duplicates.py:256``). The
+    webtext equivalent is gzipped JSON-lines shards — the de-facto
+    interchange format LLM training pipelines ingest: survivors only
+    (``keep_col`` gating, the pruned-subset analog), projected to the
+    consumer's column contract (``JSONL_EXPORT_COLUMNS`` by default;
+    columns absent from ``df`` are skipped), one shard per partition so
+    the write stays fully parallel. Unlike :func:`write_final_table` this
+    is a row-subset, fixed-schema, text-format hand-off, not a snapshot.
+    """
+    cols = [c for c in (columns or JSONL_EXPORT_COLUMNS) if c in df.columns]
+    if not cols:
+        raise ValueError("export_jsonl: none of the requested columns exist")
+    out = df
+    if keep_col is not None and keep_col in df.columns:
+        out = out.filter(F.col(keep_col))
+    writer = out.select(*cols).write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    if partition_by:
+        writer = writer.partitionBy(*[c for c in partition_by if c in df.columns])
+    writer.json(path)
+    return path
+
+
 def write_final_table(
     df: DataFrame,
     path: str,

@@ -34,6 +34,40 @@ def test_export_tsv_gzip(spark, tmp_path):
     assert "a" in row[1] and "b" in row[1] and row[1].strip('"').startswith("[")
 
 
+def test_export_jsonl_survivor_gated_interchange(spark, tmp_path):
+    # S9 analog: survivors only, fixed column contract, gzipped JSON-lines
+    # shards, byte-exact text round-trip (newlines + non-ASCII)
+    from exome_qc_library_spark.sources.sinks import export_jsonl
+
+    df = spark.createDataFrame(
+        [
+            ("u1", True, "line one\nline two é中文", "en", 0.9),
+            ("u2", False, "dropped doc", "en", 0.1),
+            ("u3", True, None, "de", 0.5),
+        ],
+        "url string, keep boolean, scrubbed_text string, lang_id string, quality_score double",
+    )
+    p = export_jsonl(df, str(tmp_path / "out"))
+    assert glob.glob(os.path.join(p, "*.json.gz")), "expected gzipped shards"
+    back = spark.read.schema(
+        "url string, lang_id string, quality_score double, scrubbed_text string"
+    ).json(p)
+    rows = {r["url"]: r for r in back.collect()}
+    assert set(rows) == {"u1", "u3"}  # u2 dropped by keep gate
+    assert rows["u1"]["scrubbed_text"] == "line one\nline two é中文"
+    assert rows["u3"]["scrubbed_text"] is None
+    # keep_col=None disables gating; missing requested columns are skipped
+    p2 = export_jsonl(
+        df, str(tmp_path / "all"), columns=("url", "no_such_col"), keep_col=None
+    )
+    assert spark.read.json(p2).count() == 3
+    try:
+        export_jsonl(df, str(tmp_path / "none"), columns=("missing",))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_write_final_table_partitioned(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "en"), (2, "fr"), (3, "en")], "doc_id long, lang_id string"
