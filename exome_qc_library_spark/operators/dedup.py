@@ -116,12 +116,50 @@ def _minhash_sig_udf(num_perm: int, seed: int = 42):
     return _sig
 
 
-def _minhash_sig_batch(vals, a, b, chunk_hashes: int) -> list:
-    """One Arrow batch of base-hash arrays → list of signature lists
-    (None preserved for None/empty rows). Separated from the UDF closure so
-    the chunk-boundary logic is unit-testable with a tiny ``chunk_hashes``."""
+def _minhash_sig_flat(flat, starts, a, b, chunk_hashes: int):
+    """Core signature kernel over FLAT storage: rows are the slices of
+    ``flat`` delimited by ``starts`` (len n+1, strictly increasing — no
+    empty rows here; callers route those to NULL). Returns an (n, num_perm)
+    int64 matrix.
+
+    One reused buffer + out= ops: the kernel is bound by the (num_perm × T)
+    intermediate's memory traffic and the remainder op (measured ~90% of
+    kernel time; numpy's scalar-divisor remainder already uses a
+    multiply-shift fast path, so there is no cheaper exact formulation —
+    Mersenne folding and unique-hash dedup+gather both measured slower).
+    In-place halves the temporary traffic: ~13% on realistic batches."""
     from ..functions.hashing import _MH_PRIME
 
+    n = len(starts) - 1
+    num_perm = a.shape[0]
+    out = np.empty((n, num_perm), dtype=np.int64)
+    buf = np.empty((num_perm, min(chunk_hashes, max(flat.size, 1))), dtype=np.int64)
+    row = 0
+    while row < n:
+        end = row
+        while end < n and starts[end + 1] - starts[row] <= chunk_hashes:
+            end += 1
+        end = max(end, row + 1)  # a single over-sized row still goes through
+        seg = flat[starts[row] : starts[end]]
+        m = (
+            buf[:, : seg.size]
+            if seg.size <= buf.shape[1]
+            else np.empty((num_perm, seg.size), dtype=np.int64)
+        )
+        np.multiply(seg[None, :], a, out=m)
+        np.add(m, b, out=m)
+        np.remainder(m, _MH_PRIME, out=m)
+        offs = (starts[row:end] - starts[row]).astype(np.int64, copy=False)
+        out[row:end] = np.minimum.reduceat(m, offs, axis=1).T
+        row = end
+    return out
+
+
+def _minhash_sig_batch(vals, a, b, chunk_hashes: int) -> list:
+    """One batch of base-hash arrays (object rows) → list of signature lists
+    (None preserved for None/empty rows). Object-row wrapper around
+    :func:`_minhash_sig_flat`; the chunk-boundary logic is unit-testable
+    with a tiny ``chunk_hashes``."""
     out: list = [None] * len(vals)
     idx = [i for i, v in enumerate(vals) if v is not None and len(v) > 0]
     if not idx:
@@ -129,35 +167,71 @@ def _minhash_sig_batch(vals, a, b, chunk_hashes: int) -> list:
     arrs = [np.asarray(vals[i], dtype=np.int64) for i in idx]
     lens = np.fromiter((x.size for x in arrs), dtype=np.int64, count=len(arrs))
     starts = np.concatenate(([0], np.cumsum(lens)))
-    flat = np.concatenate(arrs)
-    # one reused buffer + out= ops: the kernel is bound by the (num_perm × T)
-    # intermediate's memory traffic and the remainder op (measured ~90% of
-    # kernel time; numpy's scalar-divisor remainder already uses a
-    # multiply-shift fast path, so there is no cheaper exact formulation —
-    # Mersenne folding and unique-hash dedup+gather both measured slower).
-    # In-place halves the temporary traffic: ~13% on realistic batches.
-    buf = np.empty((a.shape[0], min(chunk_hashes, flat.size)), dtype=np.int64)
-    row = 0
-    while row < len(arrs):
-        end = row
-        while end < len(arrs) and starts[end + 1] - starts[row] <= chunk_hashes:
-            end += 1
-        end = max(end, row + 1)  # a single over-sized row still goes through
-        seg = flat[starts[row] : starts[end]]
-        m = (
-            buf[:, : seg.size]
-            if seg.size <= buf.shape[1]
-            else np.empty((a.shape[0], seg.size), dtype=np.int64)
-        )
-        np.multiply(seg[None, :], a, out=m)
-        np.add(m, b, out=m)
-        np.remainder(m, _MH_PRIME, out=m)
-        offs = starts[row:end] - starts[row]
-        mins = np.minimum.reduceat(m, offs, axis=1)  # (num_perm, rows)
-        for j in range(end - row):
-            out[idx[row + j]] = mins[:, j].tolist()
-        row = end
+    sigs = _minhash_sig_flat(np.concatenate(arrs), starts, a, b, chunk_hashes)
+    for j, i in enumerate(idx):
+        out[i] = sigs[j].tolist()
     return out
+
+
+def _minhash_sig_arrow_fn(num_perm: int, seed: int = 42):
+    """``mapInArrow`` signature stage: ``(k, hs: array<int|bigint>)``
+    batches → ``(k, sig: array<bigint>)`` batches with ZERO per-row Python
+    objects in either direction: the Arrow list buffers are consumed flat
+    (``flatten()``/``value_lengths()``, zero-copy) and the output list
+    array is assembled from one flat int64 values buffer + an arithmetic
+    offsets vector. Bit-identical to the pandas path (pinned in tests).
+
+    NOT the production default: measured equal-to-slightly-slower than the
+    column-form pandas UDF at 500k docs / 8 cores (BENCH.md round 5) —
+    the per-row boxing it eliminates (~7× cheaper output conversion in
+    isolation) is offset by shipping the key column through Python in both
+    directions, which the column UDF avoids. Retained, tested, because on
+    a real multi-executor cluster with wide keys the trade-off is
+    measurable again and the flat-buffer shape is the one to reach for."""
+    from ..functions.hashing import _mh_params
+
+    params = _mh_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    chunk_hashes = max(1, 2_097_152 // num_perm)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            key = batch.column(0)
+            la = batch.column(1)
+            n = len(la)
+            # value_lengths: null rows → null → 0; flatten(): skips null
+            # rows, includes empty extents — both orderings are row order,
+            # so the alignment guard below is exact
+            lens = la.value_lengths().to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != int(lens.sum()):  # pragma: no cover — spec guard
+                raise AssertionError("list flatten misaligned with value_lengths")
+            nonempty = lens > 0
+            ne = np.nonzero(nonempty)[0]
+            if ne.size:
+                starts = np.zeros(ne.size + 1, dtype=np.int64)
+                np.cumsum(lens[ne], out=starts[1:])
+                sig_values = _minhash_sig_flat(
+                    flat.astype(np.int64, copy=False), starts, a, b, chunk_hashes
+                ).ravel()
+            else:
+                sig_values = np.empty(0, dtype=np.int64)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.where(nonempty, num_perm, 0), out=offs[1:])
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32), type=pa.int32()),
+                pa.array(sig_values, type=pa.int64()),
+                mask=pa.array(~nonempty),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [key, sig_arr], [batch.schema.names[0], "sig"]
+            )
+
+    return fn
 
 
 def minhash_candidate_pairs(
@@ -208,6 +282,13 @@ def minhash_candidate_pairs(
         ).localCheckpoint(eager=False)
         sk = hs.select("k", minhash_signature(F.col("hs"), num_perm, seed).alias("sig"))
     else:
+        # column-form pandas UDF, deliberately: the key column stays
+        # JVM-side (only the hash arrays cross the Arrow boundary). The
+        # boxing-free mapInArrow variant (_minhash_sig_arrow_fn) measured
+        # equal-to-slightly-slower at 500k docs because it ships the key
+        # through Python both ways; an array<int> downcast of the hashes
+        # also LOST (the element-wise cast pass costs more than the bytes
+        # it saves). Three-way A/B in BENCH.md round 5.
         sk = base.select(
             F.col(key_col).alias("k"),
             _minhash_sig_udf(num_perm, seed)(

@@ -107,6 +107,50 @@ def test_minhash_batch_kernel_matches_naive_per_row():
         assert got == expected, f"chunk_hashes={chunk}"
 
 
+def test_minhash_arrow_stage_matches_pandas_udf(spark):
+    # the boxing-free mapInArrow signature stage (the documented alternative
+    # to the production pandas UDF) must emit EXACTLY the same signatures,
+    # including NULL for null/empty/whitespace docs and int32-shipped hashes
+    import pyspark.sql.functions as F
+
+    from exome_qc_library_spark.functions.hashing import shingle_hashes, word_shingles
+    from exome_qc_library_spark.operators.dedup import (
+        _minhash_sig_arrow_fn,
+        _minhash_sig_udf,
+    )
+
+    rows = [
+        ("u1", "the quick brown fox jumps over the lazy dog " * 3),
+        ("u2", None),
+        ("u3", ""),
+        ("u4", "   "),
+        ("u5", "two words"),
+        ("u6", "one"),
+        ("u7", "completely different content about spark engines " * 4),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    hs = shingle_hashes(word_shingles(F.col("text"), 3))
+    via_pandas = {
+        r["k"]: r["sig"]
+        for r in df.select(
+            F.col("url").alias("k"), _minhash_sig_udf(64, 42)(hs).alias("sig")
+        ).collect()
+    }
+    via_arrow = {
+        r["k"]: r["sig"]
+        for r in df.select(
+            F.col("url").alias("k"), hs.cast("array<int>").alias("hs")
+        )
+        .mapInArrow(_minhash_sig_arrow_fn(64, 42), "k string, sig array<bigint>")
+        .collect()
+    }
+    assert via_arrow == via_pandas
+    assert via_arrow["u4"] is None  # whitespace-only → no shingles → NULL sig
+    assert len(via_arrow["u1"]) == 64
+
+
 def test_flag_near_duplicates_earliest_representative(spark):
     out = flag_near_duplicates(_docs(spark), threshold=0.5)
     flags = {r["url"]: r["final_failing_qc"] for r in out.collect()}
