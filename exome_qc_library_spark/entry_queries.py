@@ -1851,3 +1851,112 @@ QUERIES.update(
         "union_cols": (q_union_cols, _Q_UNION_COLS_SQL),
     }
 )
+
+
+def q_denovo_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 de-novo caller analog: trio-based probabilistic originality flag
+    from joined priors (``operators/denovo.py``; reference
+    ``find_denovo_variants.py:177-239``). Families = ``source``; snapshot
+    windows = ``doc_id % 3`` (0/1 = parents, 2 = child — deterministic
+    synthetic snapshot assignment, both engines compute it identically);
+    variant = sha256 fingerprint of the text; external panel = the
+    fingerprint frequencies of the ``lang='en'`` sub-population (the
+    gnomad_fin analog: the reference, too, derives its prior table from a
+    filtered view of the corpus and annotates it back,
+    ``find_denovo_variants.py:169-199``)."""
+    from .operators.denovo import call_denovo_content
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        F.col("source").alias("family"),
+        F.pmod(F.col("doc_id"), F.lit(3)).alias("snapshot"),
+        F.sha2(F.col("text"), 256).alias("fingerprint"),
+    )
+    en = docs.filter(F.col("lang") == "en")
+    panel = (
+        en.groupBy(F.sha2(F.col("text"), 256).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .crossJoin(F.broadcast(en.agg(F.count(F.lit(1)).alias("n_en"))))
+        .select(
+            "fingerprint",
+            F.round(F.col("k") / F.col("n_en"), 9).alias("panel_af"),
+        )
+    )
+    out = call_denovo_content(base, panel)
+    return out.select(
+        "doc_id",
+        "family",
+        F.substring("fingerprint", 1, 12).alias("fp"),
+        "n_copies",
+        "site_freq_n",
+        "prior",
+        "p_denovo",
+        "confidence",
+    )
+
+
+_Q_DENOVO_SQL = """
+WITH base AS (
+  SELECT doc_id, source AS family, doc_id % 3 AS snapshot,
+         sha256(text) AS fingerprint
+  FROM documents WHERE text IS NOT NULL
+),
+panel AS (
+  SELECT sha256(text) AS fingerprint,
+         round(count(*)::DOUBLE /
+               (SELECT count(*) FROM documents
+                WHERE text IS NOT NULL AND lang = 'en'), 9) AS panel_af
+  FROM documents WHERE text IS NOT NULL AND lang = 'en' GROUP BY 1
+),
+fam_fp AS (
+  SELECT family, fingerprint,
+         sum(CASE WHEN snapshot = 2 THEN 1 ELSE 0 END) AS child_count,
+         sum(CASE WHEN snapshot <> 2 THEN 1 ELSE 0 END) AS parent_count
+  FROM base GROUP BY 1, 2
+),
+fp_counts AS (
+  SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_copies FROM base GROUP BY 1
+),
+totals AS (SELECT count(*) AS total_docs FROM base),
+fam_stats AS (
+  SELECT family,
+         sum(CASE WHEN snapshot = 0 THEN 1 ELSE 0 END) AS n_parent_a,
+         sum(CASE WHEN snapshot = 1 THEN 1 ELSE 0 END) AS n_parent_b
+  FROM base GROUP BY 1
+),
+scored AS (
+  SELECT family, fingerprint, n_copies, n_parent_a, n_parent_b,
+         round(greatest(n_copies - 1, 0)::DOUBLE / (total_docs + 10000), 9)
+           AS site_freq_n,
+         coalesce(p.panel_af, 0.0) AS panel_af
+  FROM fam_fp
+  JOIN fam_stats USING (family)
+  JOIN fp_counts USING (fingerprint)
+  CROSS JOIN totals
+  LEFT JOIN panel p USING (fingerprint)
+  WHERE child_count > 0 AND parent_count = 0
+        AND n_parent_a > 0 AND n_parent_b > 0
+),
+post AS (
+  SELECT family, fingerprint, n_copies, site_freq_n,
+         round(greatest(panel_af, site_freq_n), 9) AS prior,
+         n_parent_a + n_parent_b AS exposure
+  FROM scored
+),
+post2 AS (
+  SELECT family, fingerprint, n_copies, site_freq_n, prior,
+         round((1.0 - prior) / (1.0 + exposure * prior), 9) AS p_denovo
+  FROM post
+)
+SELECT b.doc_id, b.family, substring(b.fingerprint, 1, 12) AS fp,
+       s.n_copies, s.site_freq_n, s.prior, s.p_denovo,
+       CASE WHEN s.p_denovo > 0.99 AND s.site_freq_n < 0.001 THEN 'HIGH'
+            WHEN s.p_denovo > 0.5 THEN 'MEDIUM'
+            ELSE 'LOW' END AS confidence
+FROM base b
+JOIN post2 s USING (family, fingerprint)
+WHERE b.snapshot = 2
+"""
+
+QUERIES.update({"denovo_content": (q_denovo_content, _Q_DENOVO_SQL)})
