@@ -144,6 +144,115 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_near_dup_matches(
+    pages: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    key_col: str = "url",
+    time_col: str = "warc_ts",
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-micro-batch NEAR-dup detection: MinHash-LSH with the band
+    buckets as persistent state.
+
+    The streaming plane of the batch
+    :func:`~..operators.dedup.minhash_pairs` →
+    :func:`~..operators.dedup.flag_near_duplicates` chain (the last
+    curation operator without a streaming composition). Same sketch
+    (same shingles / permutations / banding as batch, so candidates are
+    identical), but instead of a per-corpus band shuffle the band bucket
+    is the ``applyInPandasWithState`` grouping key: state holds the
+    bucket's REPRESENTATIVE (first-arrived doc id + its signature), and
+    each later arrival in the bucket emits a match row
+    ``(key, rep, jaccard_est)`` when its signature agrees with the
+    representative's on ≥ ``threshold`` of slots. A doc is near-dup iff
+    it appears in the match stream (it may appear once per matching
+    band — consumers take ``distinct``).
+
+    Semantics vs batch: first-arrived ≡ earliest-``warc_ts`` cluster
+    representative under time-ordered ingest, and the flag sets agree
+    exactly on star-shaped clusters (every dup within ``threshold`` of
+    the representative — the overwhelming near-dup shape). A transitive
+    CHAIN (A~B~C with A≁C) is clustered together by the batch
+    union-find but C is not matched here — the documented
+    approximation, inherent to single-pass streaming.
+
+    Scale shape: each micro-batch shuffles once on the uniform 8-byte
+    band-bucket key; state is one (id, signature) row per non-empty
+    bucket — ``bands``/doc worst case, evictable via event-time TTL in
+    a production deployment (same note as
+    :func:`streaming_host_counters`). The signature UDF is the batch
+    kernel (Arrow-vectorized); only band keys and the csv signature
+    ride the state store.
+    """
+    import numpy as np
+
+    from ..functions.hashing import lsh_band_keys, shingle_hashes, word_shingles
+    from ..operators.dedup import _minhash_sig_udf
+
+    rows_per_band = num_perm // bands
+    base = pages.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+    sk = base.select(
+        F.col(key_col).alias("k"),
+        F.col(time_col).alias("ts"),
+        _minhash_sig_udf(num_perm, seed)(
+            shingle_hashes(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sig"),
+    ).filter(F.col("sig")[0].isNotNull())
+    exploded = sk.select(
+        "k",
+        "ts",
+        F.concat_ws(",", F.col("sig")).alias("sig_csv"),
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select(
+        "k",
+        "ts",
+        "sig_csv",
+        F.concat_ws(":", F.col("bk.band"), F.col("bk.bucket")).alias("bucket"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            rep_k, rep_csv = state.get
+            rep_sig = np.fromiter(
+                (int(x) for x in rep_csv.split(",")), dtype=np.int64
+            )
+        else:
+            rep_k, rep_csv, rep_sig = None, None, None
+        out_k, out_rep, out_est = [], [], []
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts", "k"]).itertuples():
+                sig = np.fromiter(
+                    (int(x) for x in r.sig_csv.split(",")), dtype=np.int64
+                )
+                if rep_sig is None:
+                    rep_k, rep_csv, rep_sig = r.k, r.sig_csv, sig
+                    continue
+                if r.k == rep_k:
+                    continue
+                est = float((sig == rep_sig).mean())
+                if est >= threshold:
+                    out_k.append(r.k)
+                    out_rep.append(rep_k)
+                    out_est.append(est)
+        if rep_k is not None:
+            state.update((rep_k, rep_csv))
+        yield pd.DataFrame({"k": out_k, "rep": out_rep, "jaccard_est": out_est})
+
+    return exploded.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="k string, rep string, jaccard_est double",
+        stateStructType="rep_k string, rep_csv string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, src_path: str, name: str = "stream_out") -> DataFrame:
     """Drive a bounded file stream to completion synchronously (test/demo)."""
     q = (

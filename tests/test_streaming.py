@@ -318,3 +318,101 @@ def test_streaming_decontamination_matches_batch(spark, pages):
         sample.unpersist()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def _near_dup_tranches():
+    import datetime
+
+    def ts(i):
+        return datetime.datetime(2024, 1, 1, i)
+
+    words = [f"w{i}" for i in range(80)]
+    ta = " ".join(words)
+    ta2 = " ".join(words[:-1] + ["changed"])          # one-word near-dup of ta
+    ta3 = " ".join(["altered"] + words[1:])           # another, star-shaped
+    tb = " ".join(f"z{i}" for i in range(80))         # unrelated
+    tn = " ".join(f"q{i}" for i in range(80))         # unrelated
+    return [
+        [("a1", ts(1), ta), ("b1", ts(2), tb), ("n1", ts(3), tn)],
+        [("a2", ts(4), ta2), ("a3", ts(5), ta3)],
+    ]
+
+
+def _run_near_dup_stream(spark, src, ckpt):
+    from exome_qc_library_spark.streaming.stream import streaming_near_dup_matches
+
+    matches = []
+
+    def sink(batch_df, _bid):
+        matches.extend(
+            (r["k"], r["rep"]) for r in batch_df.select("k", "rep").collect()
+        )
+
+    q = (
+        streaming_near_dup_matches(
+            spark.readStream.schema("url string, warc_ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return matches
+
+
+def test_streaming_near_dup_matches_batch(spark):
+    """Cross-batch NEAR-dup via band-bucket state must flag exactly the
+    batch flag_near_duplicates non-keep set on star-shaped clusters
+    arriving in time order."""
+    import pyspark.sql.functions as F
+
+    from exome_qc_library_spark.operators.dedup import flag_near_duplicates
+
+    src = tempfile.mkdtemp(prefix="stream_neardup_")
+    ckpt = tempfile.mkdtemp(prefix="stream_neardup_ck_")
+    schema = "url string, warc_ts timestamp, text string"
+    try:
+        for tranche in _near_dup_tranches():
+            spark.createDataFrame(tranche, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        matches = _run_near_dup_stream(spark, src, ckpt)
+        flagged_stream = {k for k, _rep in matches}
+        reps = {rep for _k, rep in matches}
+        batch = flag_near_duplicates(spark.read.schema(schema).parquet(src))
+        flagged_batch = {
+            r["url"]
+            for r in batch.filter(
+                F.array_contains("final_failing_qc", "near_duplicate")
+            ).collect()
+        }
+        assert flagged_stream == flagged_batch == {"a2", "a3"}
+        assert reps == {"a1"}  # first-arrived ≡ earliest-warc_ts representative
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_near_dup_survives_restart(spark):
+    """Bucket representatives live in the state store: a near-dup whose
+    original arrived BEFORE the restart is still matched after it."""
+    src = tempfile.mkdtemp(prefix="stream_neardup_rs_")
+    ckpt = tempfile.mkdtemp(prefix="stream_neardup_rs_ck_")
+    schema = "url string, warc_ts timestamp, text string"
+    t1, t2 = _near_dup_tranches()
+    try:
+        spark.createDataFrame(t1, schema).coalesce(1).write.mode("append").parquet(src)
+        first = _run_near_dup_stream(spark, src, ckpt)
+        assert first == []  # originals only, nothing to match yet
+        spark.createDataFrame(t2, schema).coalesce(1).write.mode("append").parquet(src)
+        second = _run_near_dup_stream(spark, src, ckpt)
+        assert {k for k, _ in second} == {"a2", "a3"}
+        assert {rep for _, rep in second} == {"a1"}  # recovered from state
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
