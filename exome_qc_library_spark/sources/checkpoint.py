@@ -15,7 +15,9 @@ replacement for Hail globals (``shared/variant_qc.py:775-781``).
 
 from __future__ import annotations
 
+import math
 import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
@@ -97,3 +99,78 @@ class CheckpointStore:
         return self.write(
             fn(upstream), name, params=params, parent=parent, partition_by=partition_by
         )
+
+    def compact(
+        self, stage: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, Any]:
+        """Small-files maintenance: rewrite a stage's snapshot into
+        ``ceil(total_bytes / target_file_bytes)`` evenly-sized files.
+
+        At 10^12-doc scale every per-stage snapshot is written by
+        thousands of tasks; without periodic compaction the file count
+        (and with it scan-planning time and NameNode/manifest pressure)
+        grows unboundedly across pipeline runs — the same maintenance an
+        Iceberg deployment runs as ``rewrite_data_files``. Content is
+        untouched: one balanced round-robin ``repartition`` (even output
+        sizes — ``coalesce`` would both skew file sizes and throttle the
+        scan's parallelism to the target count), partition columns from
+        the original write preserved.
+
+        Commit protocol: the rewrite lands in a sibling temp dir WITHOUT
+        a manifest, the directories swap, and the manifest (enriched with
+        a ``compactions`` record, row count carried over) is written
+        LAST — so the store-wide invariant "manifest present ⇔ data
+        complete" holds in every crash window, and a compaction killed
+        mid-swap degrades to the ordinary torn-write recompute path, never
+        to a manifest pointing at partial data.
+
+        No-op (``{"compacted": False}``) when the snapshot already meets
+        the target. Returns the compaction record either way.
+
+        Caller contract: unlike Iceberg (where an open scan pins its
+        snapshot), a plain-parquet rewrite invalidates any LIVE DataFrame
+        handle previously read from this stage — re-``read`` after
+        compacting. Run it between pipeline runs, not mid-plan.
+        """
+        path = self.path(stage)
+        manifest = self.fmt.read_manifest(path)
+        if manifest is None:
+            raise ValueError(f"stage {stage!r} absent or torn — nothing to compact")
+        files = self.fmt.data_files(path)
+        total = sum(os.path.getsize(f) for f in files)
+        target_n = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= target_n:
+            return {
+                "compacted": False,
+                "files": len(files),
+                "bytes": total,
+                "target_files": target_n,
+            }
+        df = self.fmt.read(self.spark, path)
+        part_cols = manifest.get("partition_by") or []
+        tmp = path + ".compact_tmp"
+        writer = (
+            # hash-cluster on the partition columns so each Hive directory
+            # is written by one task (one file per live key); plain
+            # round-robin otherwise
+            df.repartition(target_n, *part_cols)
+            if part_cols
+            else df.repartition(target_n)
+        ).write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        bak = path + ".pre_compact"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        record = {
+            "compacted": True,
+            "files_before": len(files),
+            "files_after": len(self.fmt.data_files(path)),
+            "bytes": total,
+            "target_file_bytes": target_file_bytes,
+        }
+        manifest.setdefault("compactions", []).append(record)
+        self.fmt.update_manifest(path, manifest)
+        shutil.rmtree(bak)
+        return record

@@ -80,6 +80,19 @@ class ParquetManifestFormat:
         manifest is a torn write and counts as absent."""
         return self.read_manifest(path) is not None
 
+    def data_files(self, path: str) -> list[str]:
+        """All parquet data files of a snapshot (recursive: partitioned
+        tables nest ``key=value`` directories). The local-FS analog of what
+        an Iceberg manifest lists; drives compaction planning."""
+        out: list[str] = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+        return sorted(out)
+
 
 class IcebergFormat:
     """Iceberg backend (same interface); requires iceberg-spark-runtime on

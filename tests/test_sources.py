@@ -68,3 +68,62 @@ def test_torn_write_counts_as_absent(spark):
     store.write(df, "st2")
     os.remove(os.path.join(root, "st2", "_manifest.json"))  # simulate torn write
     assert not store.exists("st2")
+
+
+def test_compact_rewrites_small_files_and_preserves_content(spark):
+    root = tempfile.mkdtemp()
+    store = CheckpointStore(spark, root)
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("v")
+    )
+    before = store.write(df.repartition(16), "stc", params={"k": 1})
+    # collect BEFORE compacting: the rewrite invalidates live handles on
+    # the old files (documented caller contract — re-read after compact)
+    before_rows = sorted(map(tuple, before.collect()))
+    assert len(store.fmt.data_files(store.path("stc"))) == 16
+    rec = store.compact("stc", target_file_bytes=1 << 30)  # everything fits in 1 file
+    assert rec["compacted"] and rec["files_before"] == 16 and rec["files_after"] == 1
+    after_rows = sorted(map(tuple, store.read("stc").collect()))
+    assert after_rows == before_rows  # content identical
+    # manifest survived the swap: stage fields intact, record appended,
+    # store invariant holds (exists == valid committed data)
+    man = store.manifest("stc")
+    assert man["stage"] == "stc" and man["params"] == {"k": 1} and man["rows"] == 2000
+    assert man["compactions"][0]["files_after"] == 1
+    assert store.exists("stc")
+    # resume path still short-circuits over the compacted snapshot
+    calls = []
+    store.stage("stc", lambda d: calls.append(1) or d, df)
+    assert calls == []
+    # second compaction is a no-op
+    rec2 = store.compact("stc", target_file_bytes=1 << 30)
+    assert rec2["compacted"] is False and rec2["files"] == 1
+
+
+def test_compact_partitioned_stage_preserves_layout(spark):
+    root = tempfile.mkdtemp()
+    store = CheckpointStore(spark, root)
+    df = spark.range(600).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    before = store.write(df.repartition(8), "stp", partition_by=["grp"])
+    before_rows = sorted(map(tuple, before.select("id", "grp").collect()))
+    assert len(store.fmt.data_files(store.path("stp"))) > 3
+    rec = store.compact("stp", target_file_bytes=1 << 30)
+    assert rec["compacted"] and rec["files_after"] <= 3  # ≤ one file per live key
+    # Hive layout preserved: partition dirs still present, content identical
+    dirs = {
+        d for d in os.listdir(store.path("stp")) if d.startswith("grp=")
+    }
+    assert dirs == {"grp=0", "grp=1", "grp=2"}
+    after_rows = sorted(map(tuple, store.read("stp").select("id", "grp").collect()))
+    assert after_rows == before_rows
+
+
+def test_compact_absent_stage_raises(spark):
+    store = CheckpointStore(spark, tempfile.mkdtemp())
+    try:
+        store.compact("nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
