@@ -174,3 +174,26 @@ class CheckpointStore:
         self.fmt.update_manifest(path, manifest)
         shutil.rmtree(bak)
         return record
+
+    def vacuum(self) -> dict[str, list[str]]:
+        """Garbage-collect the crash windows: stage dirs with data but no
+        manifest (torn writes — the resume gate already treats them as
+        absent, this reclaims the bytes) and compaction scratch dirs
+        (``*.compact_tmp`` never swapped in, ``*.pre_compact`` never
+        deleted). Committed stages are untouched — a dir is only removed
+        when the manifest says so (absent), never by age or name alone.
+        Safe to run any time no writer is active on the store root; the
+        reference's operators likewise assume single-writer stage dirs
+        (``overwrite=True`` checkpoints)."""
+        removed: dict[str, list[str]] = {"torn": [], "scratch": []}
+        for name in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, name)
+            if not os.path.isdir(p):
+                continue
+            if name.endswith((".compact_tmp", ".pre_compact")):
+                shutil.rmtree(p)
+                removed["scratch"].append(name)
+            elif self.fmt.read_manifest(p) is None:
+                shutil.rmtree(p)
+                removed["torn"].append(name)
+        return removed

@@ -127,3 +127,22 @@ def test_compact_absent_stage_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_vacuum_reclaims_torn_and_scratch_only(spark):
+    root = tempfile.mkdtemp()
+    store = CheckpointStore(spark, root)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.write(df, "good")
+    store.write(df, "torn")
+    os.remove(os.path.join(root, "torn", "_manifest.json"))
+    os.makedirs(os.path.join(root, "stage.compact_tmp"))
+    os.makedirs(os.path.join(root, "stage.pre_compact"))
+    removed = store.vacuum()
+    assert removed == {
+        "torn": ["torn"],
+        "scratch": ["stage.compact_tmp", "stage.pre_compact"],
+    }
+    # the committed stage survives, fully readable
+    assert store.exists("good") and store.read("good").count() == 1
+    assert sorted(os.listdir(root)) == ["good"]
