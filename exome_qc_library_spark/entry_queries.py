@@ -1594,6 +1594,44 @@ WHERE {stratified_sample_sql_gate("doc_id")} <
 """
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum token-budget mixing ("keep B weight-units of each
+    language in deterministic shuffle order"): the skew-aware two-phase
+    cumulative-prefix operator, weights = ``n_chars``. The oracle mirrors
+    the exact total order and inclusive running sum in one SQL window;
+    the two-phase ≡ naive-window identity is pinned in
+    tests/test_decontaminate_sampling.py."""
+    from .operators.sampling import sample_to_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_to_token_budget(
+        docs.select("doc_id", "lang", "n_chars"),
+        {"en": 120_000, "de": 40_000},
+        strata_col="lang",
+        weight_col="n_chars",
+        default_budget=15_000,
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _token_budget_sql() -> str:
+    from .operators.sampling import token_budget_sql_order
+
+    order = token_budget_sql_order("doc_id")
+    return f"""
+WITH cum AS (
+  SELECT doc_id, lang, n_chars,
+         SUM(COALESCE(n_chars, 0)) OVER (
+           PARTITION BY lang ORDER BY {order}
+         ) AS running
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM cum
+WHERE lang IS NOT NULL
+  AND running <= CASE lang WHEN 'en' THEN 120000 WHEN 'de' THEN 40000
+                 ELSE 15000 END
+"""
+
+
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key quota cap (docs-per-domain limiting): keep the first 30 docs
     per source by doc_id, flag the rest — runs the skew-aware two-phase
@@ -1859,6 +1897,7 @@ QUERIES.update(
         "host_cap": (q_host_cap, _Q_HOST_CAP_SQL),
         "decontaminate": (q_decontaminate, _Q_DECON_SQL),
         "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
+        "token_budget_sample": (q_token_budget_sample, _token_budget_sql()),
         "cross_doc_lines": (q_cross_doc_lines, _Q_CROSS_LINES_SQL),
         "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
         "cube_counts": (q_cube_counts, _Q_CUBE_SQL),

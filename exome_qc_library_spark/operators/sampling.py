@@ -69,6 +69,87 @@ def stratified_sample_sql_gate(key_expr: str = "doc_id") -> str:
     return f"((({key_expr} & {_MASK31}) * {_KNUTH}) >> 16) % {_BPS}"
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    buckets: int = 256,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Keep, per stratum, the maximal pseudo-random prefix of documents
+    whose cumulative ``weight_col`` stays within ``budgets[stratum]`` —
+    the data-mixing primitive ("2T tokens of English, 300B of German")
+    of a training-data pipeline.
+
+    Documents are ordered by the deterministic total order
+    ``(bucket, h, key)`` where ``h`` is the same Knuth multiplicative
+    hash as :func:`hash_gate` (full-resolution, no modulus) and
+    ``bucket = h mod buckets`` — an RNG-free shuffle order that is
+    partition-layout-independent, resumable, and mirrorable verbatim in
+    ANSI SQL. A row is kept iff its inclusive running total ≤ budget;
+    weights are non-negative so the kept set is a true prefix (no
+    knapsack back-fill: byte-identical to "shuffle then take until the
+    budget is hit", the semantics data-mixing recipes specify).
+
+    Scale shape — the naive form (one cumulative window per stratum)
+    funnels each language through ONE task; a web corpus is exactly as
+    skewed as its language mix, so this is the same trap
+    :func:`flag_over_key_cap` avoids. Two phases instead:
+
+    1. per-(stratum, bucket) weight totals — a ``#strata × buckets``
+       aggregate with map-side combine;
+    2. exclusive running offsets over that tiny table (broadcast back),
+       plus a local cumulative window inside each (stratum, bucket)
+       partition — bounded at ~1/``buckets`` of the stratum regardless
+       of its popularity.
+
+    Global cumsum = bucket offset + local cumsum, exactly equal to the
+    naive single window (pinned in tests). Strata absent from
+    ``budgets`` get ``default_budget``; NULL strata are always dropped
+    (they match no offset row); NULL weights count 0.
+    """
+    from pyspark.sql import Window as W
+
+    for c in ("__h", "__b", "__off", "__cum"):
+        if c in df.columns:
+            raise ValueError(f"input already carries reserved column {c!r}")
+    h = F.shiftright(F.col(key_col).bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    budget: Column = F.lit(int(default_budget))
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == F.lit(value), F.lit(int(b))).otherwise(
+            budget
+        )
+    base = df.withColumn("__h", h).withColumn("__b", F.pmod(h, F.lit(buckets)))
+    stats = base.groupBy(strata_col, "__b").agg(F.sum(w).alias("__bw"))
+    w_off = (
+        W.partitionBy(strata_col)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = stats.select(
+        strata_col,
+        "__b",
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_loc = W.partitionBy(strata_col, "__b").orderBy("__h", key_col)
+    return (
+        base.join(F.broadcast(offsets), [strata_col, "__b"], "left")
+        .withColumn("__cum", F.col("__off") + F.sum(w).over(w_loc))
+        .filter(F.col("__cum") <= budget)
+        .drop("__h", "__b", "__off", "__cum")
+    )
+
+
+def token_budget_sql_order(key_expr: str = "doc_id", buckets: int = 256) -> str:
+    """DuckDB-verbatim mirror of the operator's total order (oracle
+    helper): ``h % buckets, h, key`` with the same full-resolution hash."""
+    h = f"((({key_expr} & {_MASK31}) * {_KNUTH}) >> 16)"
+    return f"{h} % {buckets}, {h}, {key_expr}"
+
+
 def flag_over_key_cap(
     df: DataFrame,
     key_col: str,

@@ -154,6 +154,8 @@ def streaming_near_dup_matches(
     key_col: str = "url",
     time_col: str = "warc_ts",
     seed: int = 42,
+    state_ttl_minutes: float | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Cross-micro-batch NEAR-dup detection: MinHash-LSH with the band
     buckets as persistent state.
@@ -182,11 +184,21 @@ def streaming_near_dup_matches(
 
     Scale shape: each micro-batch shuffles once on the uniform 8-byte
     band-bucket key; state is one (id, signature) row per non-empty
-    bucket — ``bands``/doc worst case, evictable via event-time TTL in
-    a production deployment (same note as
-    :func:`streaming_host_counters`). The signature UDF is the batch
-    kernel (Arrow-vectorized); only band keys and the csv signature
-    ride the state store.
+    bucket — ``bands``/doc worst case. ``state_ttl_minutes`` bounds it
+    BY TIME instead of by corpus: with a TTL set, the stream is
+    watermarked on ``time_col`` (lateness tolerance =
+    ``watermark_delay``) and each bucket's representative carries an
+    event-time timer at last-activity + TTL. Spark's timeout contract
+    applies: a bucket is evicted in the first micro-batch where the
+    watermark has passed its timer AND no new rows arrived for it; a
+    duplicate arriving after eviction re-seeds the bucket as a fresh
+    representative (bounded recall loss at the TTL horizon — the
+    standard dedup-window trade every streaming deduper makes, cf.
+    ``dropDuplicatesWithinWatermark`` in
+    :func:`streaming_exact_dedup`). Default ``None`` keeps the full
+    horizon (NoTimeout). The signature UDF is the batch kernel
+    (Arrow-vectorized); only band keys and the csv signature ride the
+    state store.
     """
     import numpy as np
 
@@ -213,10 +225,19 @@ def streaming_near_dup_matches(
         "sig_csv",
         F.concat_ws(":", F.col("bk.band"), F.col("bk.bucket")).alias("bucket"),
     )
+    ttl_ms = None
+    if state_ttl_minutes is not None:
+        ttl_ms = int(state_ttl_minutes * 60_000)
+        exploded = exploded.withWatermark("ts", watermark_delay)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last-activity + TTL with no new rows for
+            # this bucket: evict the representative, emit nothing
+            state.remove()
+            return
         if state.exists:
             rep_k, rep_csv = state.get
             rep_sig = np.fromiter(
@@ -225,8 +246,12 @@ def streaming_near_dup_matches(
         else:
             rep_k, rep_csv, rep_sig = None, None, None
         out_k, out_rep, out_est = [], [], []
+        max_ts_ms = None
         for pdf in pdfs:
             for r in pdf.sort_values(["ts", "k"]).itertuples():
+                if ttl_ms is not None:
+                    ts_ms = int(r.ts.value // 1_000_000)
+                    max_ts_ms = ts_ms if max_ts_ms is None else max(max_ts_ms, ts_ms)
                 sig = np.fromiter(
                     (int(x) for x in r.sig_csv.split(",")), dtype=np.int64
                 )
@@ -242,6 +267,12 @@ def streaming_near_dup_matches(
                     out_est.append(est)
         if rep_k is not None:
             state.update((rep_k, rep_csv))
+            if ttl_ms is not None and max_ts_ms is not None:
+                # sliding event-time TTL: rows older than the watermark
+                # never reach a stateful operator, so this timestamp is
+                # always > the current watermark as setTimeoutTimestamp
+                # requires
+                state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
         yield pd.DataFrame({"k": out_k, "rep": out_rep, "jaccard_est": out_est})
 
     return exploded.groupBy("bucket").applyInPandasWithState(
@@ -249,7 +280,11 @@ def streaming_near_dup_matches(
         outputStructType="k string, rep string, jaccard_est double",
         stateStructType="rep_k string, rep_csv string",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -189,3 +189,97 @@ def test_stratified_sample_zero_default_drops_unlisted(spark):
     )
     kept = {r["lang"] for r in stratified_sample(df, "lang", {"en": 1.0}).collect()}
     assert kept <= {"en"}
+
+
+def _budget_df(spark):
+    # three strata with very different sizes (skew) + NULL lang + NULL weight
+    rows = [(i, "en", (i % 37) + 1) for i in range(400)]
+    rows += [(1000 + i, "de", (i % 11) + 5) for i in range(60)]
+    rows += [(2000 + i, "fr", 10) for i in range(8)]
+    rows += [(3000, None, 50), (3001, "en", None)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n long")
+
+
+def test_token_budget_matches_naive_window(spark):
+    """Two-phase bucketed cumsum must equal the naive one-window-per-
+    stratum form exactly (same total order, same inclusive prefix)."""
+    from pyspark.sql import Window as W
+
+    from exome_qc_library_spark.operators.sampling import (
+        _KNUTH,
+        _MASK31,
+        sample_to_token_budget,
+    )
+
+    df = _budget_df(spark)
+    budgets = {"en": 900, "de": 150}
+    got = sample_to_token_budget(
+        df, budgets, strata_col="lang", weight_col="n", buckets=16,
+        default_budget=40,
+    )
+    h = F.shiftright(F.col("doc_id").bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
+    naive = (
+        df.withColumn("__h", h)
+        .withColumn("__b", F.pmod(F.col("__h"), F.lit(16)))
+        .withColumn(
+            "__cum",
+            F.sum(F.coalesce(F.col("n").cast("long"), F.lit(0))).over(
+                W.partitionBy("lang").orderBy("__b", "__h", "doc_id")
+            ),
+        )
+        .filter(
+            F.col("lang").isNotNull()
+            & (
+                F.col("__cum")
+                <= F.when(F.col("lang") == "en", 900)
+                .when(F.col("lang") == "de", 150)
+                .otherwise(40)
+            )
+        )
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in naive.collect()
+    )
+
+
+def test_token_budget_prefix_properties(spark):
+    from exome_qc_library_spark.operators.sampling import sample_to_token_budget
+
+    df = _budget_df(spark)
+    out = sample_to_token_budget(
+        df, {"en": 900, "de": 150}, strata_col="lang", weight_col="n",
+        default_budget=40,
+    )
+    sums = {
+        r["lang"]: r["s"]
+        for r in out.groupBy("lang").agg(F.sum("n").alias("s")).collect()
+    }
+    # budgets respected per stratum
+    assert sums["en"] <= 900 and sums["de"] <= 150 and sums.get("fr", 0) <= 40
+    # maximality: each stratum admits no further doc in the prefix order
+    # (the NEXT doc would overflow) — with all-positive weights the kept
+    # count is strictly below the stratum total only when the budget bit
+    kept_en = out.filter("lang = 'en'").count()
+    total_en = df.filter("lang = 'en'").count()
+    assert 0 < kept_en < total_en
+    # NULL lang dropped; NULL weight counts 0 (kept iff its prefix fits)
+    assert out.filter("lang IS NULL").count() == 0
+    # layout-independence: same keys at any parallelism
+    out2 = sample_to_token_budget(
+        df.repartition(13), {"en": 900, "de": 150}, strata_col="lang",
+        weight_col="n", default_budget=40,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+
+
+def test_token_budget_reserved_column_collision_raises(spark):
+    from exome_qc_library_spark.operators.sampling import sample_to_token_budget
+
+    df = _budget_df(spark).withColumn("__cum", F.lit(1))
+    try:
+        sample_to_token_budget(df, {"en": 10}, weight_col="n")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -338,7 +338,7 @@ def _near_dup_tranches():
     ]
 
 
-def _run_near_dup_stream(spark, src, ckpt):
+def _run_near_dup_stream(spark, src, ckpt, **kwargs):
     from exome_qc_library_spark.streaming.stream import streaming_near_dup_matches
 
     matches = []
@@ -352,7 +352,8 @@ def _run_near_dup_stream(spark, src, ckpt):
         streaming_near_dup_matches(
             spark.readStream.schema("url string, warc_ts timestamp, text string")
             .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+            .parquet(src),
+            **kwargs,
         )
         .writeStream.outputMode("update")
         .foreachBatch(sink)
@@ -416,3 +417,57 @@ def test_streaming_near_dup_survives_restart(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_near_dup_state_ttl_evicts_and_reseeds(spark):
+    """Event-time TTL bounds the band-bucket state store: once the
+    watermark passes a bucket's last-activity + TTL in a batch that
+    brings it no data, its representative is evicted; a later duplicate
+    re-seeds the bucket instead of matching the expired original
+    (bounded recall loss at the TTL horizon), while duplicates within
+    the horizon still match normally."""
+    import datetime
+
+    def ts(i, m=0):
+        return datetime.datetime(2024, 1, 1, i, m)
+
+    words = [f"w{i}" for i in range(80)]
+    ta = " ".join(words)
+    ta2 = " ".join(words[:-1] + ["changed"])
+    ta3 = " ".join(["altered"] + words[1:])
+    tz = " ".join(f"z{i}" for i in range(80))   # unrelated watermark-drivers
+    tz2 = " ".join(f"y{i}" for i in range(80))
+    tranches = [
+        [("a1", ts(1), ta)],
+        # batch 2 raises the post-batch watermark to hour 10 (during the
+        # batch it is still hour 1, so a1's 1:30 timer cannot fire yet)
+        [("z1", ts(10), tz)],
+        # batch 3: watermark now 10:00 > a1's timer AND the a-bucket gets
+        # no data — Spark's timeout contract evicts it exactly here
+        [("z2", ts(10, 30), tz2)],
+        [("a2", ts(11), ta2), ("a3", ts(12), ta3)],
+    ]
+    schema = "url string, warc_ts timestamp, text string"
+
+    def run(ttl):
+        src = tempfile.mkdtemp(prefix="stream_ttl_")
+        ckpt = tempfile.mkdtemp(prefix="stream_ttl_ck_")
+        try:
+            for tranche in tranches:
+                spark.createDataFrame(tranche, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            return _run_near_dup_stream(
+                spark, src, ckpt, state_ttl_minutes=ttl
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    # TTL shorter than the gap: a1 evicted in batch 2, a2 re-seeds,
+    # a3 matches the NEW representative
+    short = run(30.0)
+    assert {(k, rep) for k, rep in short} == {("a3", "a2")}
+    # TTL longer than the whole span: identical to the NoTimeout result
+    long = run(24 * 60.0)
+    assert {(k, rep) for k, rep in long} == {("a2", "a1"), ("a3", "a1")}
