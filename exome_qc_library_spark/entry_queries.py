@@ -1572,6 +1572,59 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line REMOVAL (`strip_boilerplate_lines`):
+    every doc gets a shared long footer (stripped: ≥3 docs carry it) and
+    a shared SHORT line (kept: under the eligibility floor) appended, so
+    the oracle exercises strip + keep + byte-exact reassembly in one
+    query. String-join form (``hashed=False``); the xxhash64 production
+    path is pinned equal in tests/test_dedup.py."""
+    from .operators.dedup import strip_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"),
+                F.lit("\nok\nthis footer is shared boilerplate across documents"),
+            ),
+        ).alias("text"),
+    )
+    out = strip_boilerplate_lines(
+        base, key_col="doc_id", min_docs=3, min_line_chars=10, hashed=False
+    )
+    return out.select("doc_id", "text_clean")
+
+
+_Q_STRIP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE text || chr(10) || 'ok' || chr(10) ||
+                   'this footer is shared boilerplate across documents' END AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id, trim(lower(unnest(regexp_split_to_array(t, '\\n')))) AS line
+  FROM base WHERE t IS NOT NULL
+),
+f AS (SELECT DISTINCT doc_id, line FROM l WHERE length(line) >= 10),
+boiler AS (SELECT line FROM f GROUP BY line HAVING count(*) >= 3),
+bl AS (SELECT coalesce(list(line), []) AS bset FROM boiler)
+SELECT b.doc_id,
+       CASE WHEN b.t IS NULL THEN NULL ELSE
+         array_to_string(
+           list_filter(regexp_split_to_array(b.t, '\\n'),
+             x -> length(trim(lower(x))) < 10
+                  OR NOT list_contains(bl.bset, trim(lower(x)))),
+           chr(10))
+       END AS text_clean
+FROM base b, bl
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum quota sampling (domain/language mixing):
     hash-gated like ``sample_rows`` but with a per-stratum threshold."""
@@ -1899,6 +1952,7 @@ QUERIES.update(
         "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
         "token_budget_sample": (q_token_budget_sample, _token_budget_sql()),
         "cross_doc_lines": (q_cross_doc_lines, _Q_CROSS_LINES_SQL),
+        "strip_boilerplate": (q_strip_boilerplate, _Q_STRIP_SQL),
         "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
         "cube_counts": (q_cube_counts, _Q_CUBE_SQL),
         "sample_rows": (q_sample_rows, _Q_SAMPLE_SQL),

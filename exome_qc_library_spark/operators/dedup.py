@@ -684,6 +684,86 @@ def flag_cross_doc_dup_lines(
     return add_flags(out, flag_col, {tag: pred}).drop("n_lines", "n_shared")
 
 
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_line_chars: int = 10,
+    hashed: bool = True,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL: rewrite each doc's text with every
+    line that occurs (normalized: trim+lower) in ≥ ``min_docs`` distinct
+    documents stripped out, preserving the order and original bytes of
+    the surviving lines. The surgical complement of
+    :func:`flag_cross_doc_dup_lines`, which only flags whole documents —
+    nav bars / cookie banners / footers pollute GOOD documents, and a
+    quality pipeline wants the page minus the chrome, not a dropped page.
+
+    Lines shorter than ``min_line_chars`` after normalization are never
+    stripped (too little evidence to be chrome, and C4 likewise bounds
+    eligibility). NULL text stays NULL; a doc whose every line is
+    boilerplate becomes the empty string. A doc with nothing to strip
+    round-trips byte-identically (split + rejoin on ``\\n`` is the
+    identity).
+
+    Scale shape: ``posexplode`` is row-local; the boilerplate set is the
+    same uniform two-aggregate chain as
+    :func:`cross_doc_dup_line_stats` (distinct (doc, line) → per-line
+    doc counts with map-side combine); the hit set joins back onto the
+    1-row-per-(doc,pos,line) table on the uniform 8-byte line hash
+    (AQE-decided — the chrome vocabulary of a 10^12-doc corpus is NOT
+    assumed broadcastable); reassembly is one ``collect_list`` window
+    bounded by a single document's line count. ``hashed=False`` carries
+    the normalized line text instead of ``xxhash64`` through the
+    shuffles — the DuckDB-mirrorable twin (oracle query
+    ``strip_boilerplate``), pinned equal in tests.
+    """
+    for c in ("__k", "__pos", "__raw", "__norm", "__elig", "__nk", "__hit"):
+        if c in docs.columns:
+            raise ValueError(f"input already carries reserved column {c!r}")
+    lines = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
+    )
+    norm = F.trim(F.lower(F.col("__raw")))
+    lines = lines.select(
+        "__k",
+        "__pos",
+        "__raw",
+        (F.length(norm) >= min_line_chars).alias("__elig"),
+        (F.xxhash64(norm) if hashed else norm).alias("__nk"),
+    )
+    boiler = (
+        lines.filter(F.col("__elig"))
+        .select("__k", "__nk")
+        .dropDuplicates()
+        .groupBy("__nk")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__nk", F.lit(True).alias("__hit"))
+    )
+    kept = lines.join(boiler, "__nk", "left").filter(
+        ~F.col("__elig") | F.col("__hit").isNull()
+    )
+    rebuilt = kept.groupBy("__k").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__raw"))),
+                lambda s: s["__raw"],
+            ),
+        ).alias(out_col)
+    )
+    out = docs.join(rebuilt.withColumnRenamed("__k", key_col), key_col, "left")
+    # all-lines-stripped docs vanish from `kept` — they are "", not NULL
+    return out.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNotNull(), F.coalesce(F.col(out_col), F.lit(""))),
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 

@@ -383,3 +383,70 @@ def test_synth_dup_clusters_detected(spark, pages):
         .collect()[0][0]
     )
     assert n_dup == (expected or 0)
+
+
+def _strip_docs(spark):
+    footer = "shared navigation footer with many chars"
+    short = "ok"  # shared but under the eligibility floor — never stripped
+    rows = [
+        ("d1", f"unique alpha line one\n{footer}\n{short}\nunique alpha two"),
+        ("d2", f"{footer}\nunique beta line here\n{short}"),
+        ("d3", f"unique gamma line here\n{short}\n{footer}"),
+        ("d4", "a doc with no boilerplate at all\nsecond unique line"),
+        ("d5", None),
+        ("d6", footer),  # every eligible line stripped → empty string
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_strip_boilerplate_removes_shared_keeps_order_and_bytes(spark):
+    from exome_qc_library_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = _strip_docs(spark)
+    out = {
+        r["url"]: r["text_clean"]
+        for r in strip_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out["d1"] == "unique alpha line one\nok\nunique alpha two"
+    assert out["d2"] == "unique beta line here\nok"
+    assert out["d3"] == "unique gamma line here\nok"
+    # nothing to strip → byte-identical round-trip
+    assert out["d4"] == "a doc with no boilerplate at all\nsecond unique line"
+    assert out["d5"] is None
+    assert out["d6"] == ""  # fully-boilerplate doc → empty, not NULL
+    # annotate-don't-drop: row count and key set preserved
+    assert len(out) == 6
+
+
+def test_strip_boilerplate_hashed_matches_string_join(spark):
+    from exome_qc_library_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = _strip_docs(spark)
+    a = {
+        (r["url"], r["text_clean"])
+        for r in strip_boilerplate_lines(docs, min_docs=3, hashed=True).collect()
+    }
+    b = {
+        (r["url"], r["text_clean"])
+        for r in strip_boilerplate_lines(docs, min_docs=3, hashed=False).collect()
+    }
+    assert a == b
+
+
+def test_strip_boilerplate_min_docs_threshold(spark):
+    from exome_qc_library_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = _strip_docs(spark)
+    # at min_docs=4 the footer appears in only 4 docs (d1,d2,d3,d6) —
+    # still stripped; at 5 it survives everywhere
+    out4 = {
+        r["url"]: r["text_clean"]
+        for r in strip_boilerplate_lines(docs, min_docs=4).collect()
+    }
+    assert "footer" not in out4["d1"]
+    out5 = {
+        r["url"]: r["text_clean"]
+        for r in strip_boilerplate_lines(docs, min_docs=5).collect()
+    }
+    assert "shared navigation footer" in out5["d1"]
+    assert out5["d4"] == "a doc with no boilerplate at all\nsecond unique line"
