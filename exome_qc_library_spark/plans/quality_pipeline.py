@@ -14,6 +14,8 @@ materialization):
   S3 hard_filters  Gopher/C4 heuristics → low_pass_failing_qc            [lazy]
   S4 exact_dedup   sha2 content groups → exact_duplicate flags           [lazy]
   S4b cross_doc_lines corpus-level boilerplate-line flags      [optional, lazy]
+  S4c strip_chrome  C4-style boilerplate-line REMOVAL (rewrites
+                    text post-dedup, pre-scoring)               [optional, lazy]
   S9 scoring       fused langid+perplexity UDF → mismatch/ppl flags
                    + strict thresholds → final_failing_qc               [ckpt]
   S6 iter_outliers iterative global mean±kσ trim on the metric columns   [lazy]
@@ -89,6 +91,7 @@ def build_quality_pipeline(
     host_cap: int | None = None,
     cross_doc_dup_lines: bool = False,
     max_shared_line_frac: float = 0.6,
+    strip_boilerplate_min_docs: int | None = None,
 ) -> Pipeline:
     """Stage order puts the near-dup stage right after the ingest snapshot so
     its sketch job reads the checkpoint directly (column-pruned to url/text)
@@ -214,6 +217,30 @@ def build_quality_pipeline(
                     df, max_shared_frac=max_shared_line_frac
                 ),
                 {"max_shared_frac": max_shared_line_frac},
+                materialize=mat,
+            )
+        )
+    if strip_boilerplate_min_docs is not None:
+        # C4-style chrome REMOVAL (rewrites `text` in place, so s9 scores
+        # the content, not the nav bars). OPT-IN: with it on, the
+        # byte-identity-to-upstream invariant intentionally no longer
+        # holds for docs that carried chrome — that is the operator's
+        # purpose, mirroring how apply_scrub rewrites keeper text at s11.
+        # Runs AFTER both dedup stages so duplicates are detected on the
+        # raw bytes the crawler saw.
+        from ..operators.dedup import strip_boilerplate_lines
+
+        def _strip(df: DataFrame) -> DataFrame:
+            out = strip_boilerplate_lines(
+                df, min_docs=strip_boilerplate_min_docs
+            )
+            return out.withColumn("text", F.col("text_clean")).drop("text_clean")
+
+        stages.append(
+            Stage(
+                "s4c_strip_chrome",
+                _strip,
+                {"min_docs": strip_boilerplate_min_docs},
                 materialize=mat,
             )
         )

@@ -280,3 +280,47 @@ def test_observation_accounting_matches_scan_and_falls_back(spark, pages):
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root + "_rogue", ignore_errors=True)
+
+
+def test_strip_chrome_stage_optional(spark, pages):
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="ckpt_strip_")
+    footer = "planted shared chrome footer line for the strip stage"
+    try:
+        # plant the same long footer into every page's upstream text — the
+        # working column the stage chain operates on
+        planted = pages.withColumn(
+            "text",
+            F.when(
+                F.col("text").isNotNull(),
+                F.concat(F.col("text"), F.lit("\n" + footer)),
+            ),
+        )
+        store = CheckpointStore(spark, root)
+        pipe = build_quality_pipeline(store, strip_boilerplate_min_docs=3)
+        assert "s4c_strip_chrome" in [s.name for s in pipe.stages]
+        out = pipe.run(planted).cache()
+        # the chrome never reaches the verdict/scrub output...
+        assert out.filter(F.col("scrubbed_text").contains(footer)).count() == 0
+        # ...but rows and keys are preserved (annotate-don't-drop)
+        assert out.count() == pages.count()
+        # the footer really was in the input (guard against a vacuous test)
+        assert planted.filter(F.col("text").contains(footer)).count() > 0
+        # off by default
+        assert "s4c_strip_chrome" not in [
+            s.name for s in build_quality_pipeline(CheckpointStore(spark, root)).stages
+        ]
+        # resume with the same knob reproduces the cold run
+        out2 = build_quality_pipeline(
+            CheckpointStore(spark, root), strip_boilerplate_min_docs=3
+        ).run(planted.limit(0))
+        assert (
+            out.select("url", "keep", "scrubbed_text")
+            .exceptAll(out2.select("url", "keep", "scrubbed_text"))
+            .count()
+            == 0
+        )
+        out.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
