@@ -1685,6 +1685,40 @@ WHERE lang IS NOT NULL
 """
 
 
+def q_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (`assign_packing_bins`): documents laid end-to-end
+    in deterministic hash-shuffle order and assigned to 2048-weight-unit
+    training bins, with exact start-offset and boundary-crossing
+    bookkeeping. One-window SQL mirror of the same order + inclusive
+    running sum; the two-phase ≡ naive identity is pinned in
+    tests/test_decontaminate_sampling.py."""
+    from .operators.sampling import assign_packing_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_packing_bins(
+        docs.select("doc_id", "n_chars"), 2048, weight_col="n_chars"
+    ).select("doc_id", "n_chars", "bin_id", "bin_offset", "spans_boundary")
+
+
+def _packing_bins_sql() -> str:
+    from .operators.sampling import token_budget_sql_order
+
+    order = token_budget_sql_order("doc_id")
+    return f"""
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         SUM(COALESCE(n_chars, 0)) OVER (ORDER BY {order}) AS c
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST((c - COALESCE(n_chars, 0)) // 2048 AS BIGINT) AS bin_id,
+       CAST((c - COALESCE(n_chars, 0)) % 2048 AS BIGINT) AS bin_offset,
+       ((c - COALESCE(n_chars, 0)) % 2048 + COALESCE(n_chars, 0)) > 2048
+         AS spans_boundary
+FROM cum
+"""
+
+
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key quota cap (docs-per-domain limiting): keep the first 30 docs
     per source by doc_id, flag the rest — runs the skew-aware two-phase
@@ -1951,6 +1985,7 @@ QUERIES.update(
         "decontaminate": (q_decontaminate, _Q_DECON_SQL),
         "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
         "token_budget_sample": (q_token_budget_sample, _token_budget_sql()),
+        "packing_bins": (q_packing_bins, _packing_bins_sql()),
         "cross_doc_lines": (q_cross_doc_lines, _Q_CROSS_LINES_SQL),
         "strip_boilerplate": (q_strip_boilerplate, _Q_STRIP_SQL),
         "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),

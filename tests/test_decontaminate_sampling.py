@@ -283,3 +283,59 @@ def test_token_budget_reserved_column_collision_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_packing_bins_match_naive_window_and_properties(spark):
+    from pyspark.sql import Window as W
+
+    from exome_qc_library_spark.operators.sampling import (
+        assign_packing_bins,
+    )
+
+    df = _budget_df(spark).withColumn("lang", F.lit("x"))  # single stratum input
+    out = assign_packing_bins(
+        df.select("doc_id", "n"), seq_len=100, weight_col="n", buckets=16
+    )
+    # naive: one global window in the same order
+    from exome_qc_library_spark.operators.sampling import _KNUTH, _MASK31
+
+    h = F.shiftright(F.col("doc_id").bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
+    w = F.coalesce(F.col("n").cast("long"), F.lit(0))
+    naive = (
+        df.select("doc_id", "n")
+        .withColumn("__h", h)
+        .withColumn("__b", F.pmod(F.col("__h"), F.lit(16)))
+        .withColumn("c", F.sum(w).over(W.orderBy("__b", "__h", "doc_id")))
+        .withColumn("excl", F.col("c") - w)
+        .select(
+            "doc_id",
+            ((F.col("excl") - F.pmod("excl", F.lit(100))) / 100).cast("long").alias("bin_id"),
+            F.pmod("excl", F.lit(100)).cast("long").alias("bin_offset"),
+            (F.pmod("excl", F.lit(100)) + w > 100).alias("spans_boundary"),
+        )
+    )
+    a = {r["doc_id"]: (r["bin_id"], r["bin_offset"], r["spans_boundary"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["bin_id"], r["bin_offset"], r["spans_boundary"]) for r in naive.collect()}
+    assert a == b
+    # properties: offsets in range; bins contiguous from 0; row count kept
+    assert all(0 <= off < 100 for (_b, off, _s) in a.values())
+    bins = sorted({bid for (bid, _o, _s) in a.values()})
+    assert bins[0] == 0 and bins == list(range(bins[-1] + 1))
+    assert len(a) == df.count()
+    # per-stratum packing restarts bins at 0 for every stratum
+    df2 = _budget_df(spark)
+    per = assign_packing_bins(
+        df2.filter(F.col("lang").isNotNull()).select("doc_id", "lang", "n"),
+        seq_len=100, weight_col="n", strata_col="lang", buckets=16,
+    )
+    starts = {
+        r["lang"]: r["m"]
+        for r in per.groupBy("lang").agg(F.min("bin_id").alias("m")).collect()
+    }
+    assert set(starts.values()) == {0}
+    # layout independence
+    out2 = assign_packing_bins(
+        df.select("doc_id", "n").repartition(7), seq_len=100, weight_col="n",
+        buckets=16,
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
