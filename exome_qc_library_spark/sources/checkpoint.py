@@ -132,6 +132,12 @@ class CheckpointStore:
         handle previously read from this stage — re-``read`` after
         compacting. Run it between pipeline runs, not mid-plan.
         """
+        if not hasattr(self.fmt, "data_files"):
+            raise NotImplementedError(
+                "compact() is the parquet+manifest maintenance path; on an "
+                "Iceberg-backed store run the catalog's rewrite_data_files "
+                "procedure instead"
+            )
         path = self.path(stage)
         manifest = self.fmt.read_manifest(path)
         if manifest is None:

@@ -146,3 +146,14 @@ def test_vacuum_reclaims_torn_and_scratch_only(spark):
     # the committed stage survives, fully readable
     assert store.exists("good") and store.read("good").count() == 1
     assert sorted(os.listdir(root)) == ["good"]
+
+
+def test_compact_on_iceberg_backend_raises_clearly(spark):
+    from exome_qc_library_spark.sources.table_format import IcebergFormat
+
+    store = CheckpointStore(spark, tempfile.mkdtemp(), fmt=IcebergFormat())
+    try:
+        store.compact("any")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
