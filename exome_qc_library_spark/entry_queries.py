@@ -1102,12 +1102,15 @@ def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     (including multi-line / non-ASCII text) byte-exactly through the
     text-format hand-off. Read-back uses an explicit schema: inference on
     an export is a trap (an all-null column would vanish)."""
+    import os
     import tempfile
 
     from .sources.sinks import export_jsonl
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="q_jsonl_export_") + "/docs"
+    # STABLE scratch path, overwritten per invocation — a fresh mkdtemp
+    # per oracle sweep would leak a full table copy into /tmp every run
+    path = os.path.join(tempfile.gettempdir(), "q_jsonl_export_scratch", "docs")
     export_jsonl(
         docs,
         path,
@@ -1134,6 +1137,7 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle proves the rewrite preserves every value; the companion pytest
     pins the mechanics (file counts, manifest enrichment, partitioned
     layout, crash-window invariant)."""
+    import os
     import tempfile
 
     from .sources.checkpoint import CheckpointStore
@@ -1141,10 +1145,16 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="q_compact_"))
+    # stable, overwritten scratch root (no per-sweep /tmp leak)
+    store = CheckpointStore(
+        spark, os.path.join(tempfile.gettempdir(), "q_compact_scratch")
+    )
+    store.vacuum()  # clear any crash leftovers from a previous sweep
     store.write(docs.repartition(16), "docs", count_rows=False)
     rec = store.compact("docs", target_file_bytes=1 << 30)
-    assert rec["compacted"] and rec["files_after"] < rec["files_before"]
+    if not (rec.get("compacted") and rec["files_after"] < rec["files_before"]):
+        # explicit raise, not `assert`: the gate must survive python -O
+        raise RuntimeError(f"compaction did not reduce the snapshot: {rec}")
     return store.read("docs")
 
 
@@ -1810,7 +1820,7 @@ def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RIFF WEBP 'VP8 ': frame tag(3) + start code 9D012A + 16-bit LE words
     # whose top 2 bits are rescale hints the parser must mask off
     vp8 = F.concat(
-        F.lit("524946462400000057454250565038201200000000000000"),
+        F.lit("5249464624000000574542505650382012000000000000"),
         F.lit("9D012A"),
         le16(w + scale_w * 16384),
         le16(h + scale_h * 16384),
@@ -1892,7 +1902,7 @@ hxs AS (
         || lpad(upper(to_hex(h0 % 256)), 2, '0') || lpad(upper(to_hex(h0 // 256)), 2, '0')
         || 'F70000'
     WHEN doc_id % 5 = 3 THEN
-      '524946462400000057454250565038201200000000000000' || '9D012A'
+      '5249464624000000574542505650382012000000000000' || '9D012A'
         || {le16sql("w0 + sw*16384")} || {le16sql("h0 + sh*16384")}
     ELSE
       '5249464624000000574542505650384C0D0000002F'

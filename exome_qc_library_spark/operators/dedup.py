@@ -757,10 +757,16 @@ def strip_boilerplate_lines(
         ).alias(out_col)
     )
     out = docs.join(rebuilt.withColumnRenamed("__k", key_col), key_col, "left")
-    # all-lines-stripped docs vanish from `kept` — they are "", not NULL
+    # all-lines-stripped docs vanish from `kept` — they are "", not NULL;
+    # a NULL key can never rejoin its rebuilt lines (NULL ≠ NULL in the
+    # join), so such rows pass through UNSTRIPPED rather than silently
+    # losing their text to the coalesce. `key_col` must be unique, as in
+    # every per-key operator here — duplicate keys would merge texts.
     return out.withColumn(
         out_col,
-        F.when(F.col(text_col).isNotNull(), F.coalesce(F.col(out_col), F.lit(""))),
+        F.when(F.col(key_col).isNull(), F.col(text_col)).when(
+            F.col(text_col).isNotNull(), F.coalesce(F.col(out_col), F.lit(""))
+        ),
     )
 
 

@@ -290,13 +290,25 @@ def with_media_dims(
     behind a typical 10–20 KB EXIF APP1 (embedded thumbnail), which the
     old 2 KB/16 defaults could not. The hex prefix is projected ONCE
     into a collision-safe temp column so the aggregate fold reads a
-    bound column reference, not a re-evaluated hex subtree."""
+    bound column reference, not a re-evaluated hex subtree — and the
+    DEEP (``scan_bytes``) window is hexed only for JPEG payloads: PNG /
+    GIF / WebP / non-image rows read fixed offsets inside the first 64
+    bytes, so they pay a 128-byte string, not a 128 KB one."""
     # collision-safe temp name (round-4 ADVICE #4: a user column literally
     # named __hx must not be clobbered and dropped)
     tmp = "__hx"
     while tmp in df.columns:
         tmp += "_"
-    out = df.withColumn(tmp, F.hex(F.substring(F.col(bin_col), 1, scan_bytes)))
+    is_jpeg = F.hex(F.substring(F.col(bin_col), 1, 3)) == "FFD8FF"
+    out = df.withColumn(
+        tmp,
+        F.hex(
+            # Column.substr (not F.substring) — takes Column lengths
+            F.col(bin_col).substr(
+                F.lit(1), F.when(is_jpeg, scan_bytes).otherwise(F.lit(64))
+            )
+        ),
+    )
     hx = F.col(tmp)
     dims = (
         F.when(F.substring(hx, 1, 16) == "89504E470D0A1A0A", png_dims_from_hex(hx))

@@ -167,6 +167,7 @@ class CheckpointStore:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
         bak = path + ".pre_compact"
+        shutil.rmtree(bak, ignore_errors=True)  # crashed-prior-compact leftover
         os.rename(path, bak)
         os.rename(tmp, path)
         record = {

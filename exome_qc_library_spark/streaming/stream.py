@@ -136,11 +136,16 @@ def streaming_exact_dedup(
     state_key = F.when(
         F.col(text_col).isNotNull(), exact_content_hash(F.col(text_col))
     ).otherwise(F.concat(F.lit("__null__:"), F.col(key_col)))
+    # collision-safe temp name (round-4 ADVICE #4 convention): never
+    # clobber-and-drop a user column
+    tmp = "__chash"
+    while tmp in pages.columns:
+        tmp += "_"
     return (
-        pages.withColumn("__chash", state_key)
+        pages.withColumn(tmp, state_key)
         .withWatermark(time_col, watermark)
-        .dropDuplicatesWithinWatermark(["__chash"])
-        .drop("__chash")
+        .dropDuplicatesWithinWatermark([tmp])
+        .drop(tmp)
     )
 
 
@@ -247,8 +252,17 @@ def streaming_near_dup_matches(
             rep_k, rep_csv, rep_sig = None, None, None
         out_k, out_rep, out_est = [], [], []
         max_ts_ms = None
-        for pdf in pdfs:
-            for r in pdf.sort_values(["ts", "k"]).itertuples():
+        # concat BEFORE sorting: a bucket whose micro-batch rows span
+        # multiple Arrow chunks must still seed the earliest-(ts, k) row
+        # as representative — a per-chunk sort would pick the first
+        # chunk's local minimum (memory stays bounded by the group size,
+        # which the chunk iterator already implied)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(rows):
+            for r in rows.sort_values(["ts", "k"]).itertuples():
                 if ttl_ms is not None:
                     ts_ms = int(r.ts.value // 1_000_000)
                     max_ts_ms = ts_ms if max_ts_ms is None else max(max_ts_ms, ts_ms)

@@ -450,3 +450,21 @@ def test_strip_boilerplate_min_docs_threshold(spark):
     }
     assert "shared navigation footer" in out5["d1"]
     assert out5["d4"] == "a doc with no boilerplate at all\nsecond unique line"
+
+
+def test_strip_boilerplate_null_key_passes_through_unstripped(spark):
+    """A NULL key can never rejoin its rebuilt lines — such rows must keep
+    their text untouched, never collapse to '' (review finding)."""
+    from exome_qc_library_spark.operators.dedup import strip_boilerplate_lines
+
+    footer = "shared navigation footer with many chars"
+    rows = [
+        ("k1", f"alpha\n{footer}"),
+        ("k2", f"beta\n{footer}"),
+        ("k3", f"gamma\n{footer}"),
+        (None, f"delta content here\n{footer}"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r["text_clean"] for r in strip_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out["k1"] == "alpha"
+    assert out[None] == f"delta content here\n{footer}"  # unstripped, not ""

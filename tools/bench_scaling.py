@@ -27,6 +27,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
 )
+if len(LEVELS) != 2:
+    # fail BEFORE the hour of benching, not at the `n, m = LEVELS` report
+    raise SystemExit(
+        f"SPARK_GRAFT_LEVELS must name exactly two levels (N,4N); got {LEVELS}"
+    )
 
 
 def wait_for_quiet(threshold: float, timeout_s: float, poll_s: float = 10.0) -> float:
