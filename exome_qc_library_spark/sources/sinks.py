@@ -111,6 +111,8 @@ def write_final_table(
     sample_strata_col: str = "lang_id",
     sample_key_col: str = "url",
     sample_default_fraction: float = 0.0,
+    token_budgets: dict[str, int] | None = None,
+    token_weight_col: str = "word_count",
 ) -> str:
     """Final partitioned snapshot (per-chromosome-split analog): one
     directory per partition value, so downstream consumers prune by
@@ -125,25 +127,43 @@ def write_final_table(
     :func:`~..operators.sampling.stratified_sample` — string keys are
     folded to int64 via xxhash64 first, so the kept set is
     partition-layout-independent and resumable like everything else.
+
+    ``token_budgets`` applies the per-stratum token-budget mixer
+    (:func:`~..operators.sampling.sample_to_token_budget`) instead/as
+    well: keep each ``sample_strata_col`` stratum's maximal deterministic
+    prefix whose cumulative ``token_weight_col`` stays within its budget
+    ("export 2M words of en, 300k of de"). Composable with
+    ``sample_fractions`` (fractions first, then budgets over what
+    survived).
     """
-    if sample_fractions is not None:
+    if sample_fractions is not None or token_budgets is not None:
         from pyspark.sql import types as T
 
-        from ..operators.sampling import stratified_sample
+        from ..operators.sampling import sample_to_token_budget, stratified_sample
 
         key_type = df.schema[sample_key_col].dataType
         if isinstance(key_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-            keyed, added = df, False
+            keyed, key, added = df, sample_key_col, False
         else:
             keyed = df.withColumn("__skey", F.xxhash64(F.col(sample_key_col)))
-            added = True
-        out = stratified_sample(
-            keyed,
-            strata_col=sample_strata_col,
-            fractions=sample_fractions,
-            key_col=sample_key_col if not added else "__skey",
-            default_fraction=sample_default_fraction,
-        )
+            key, added = "__skey", True
+        out = keyed
+        if sample_fractions is not None:
+            out = stratified_sample(
+                out,
+                strata_col=sample_strata_col,
+                fractions=sample_fractions,
+                key_col=key,
+                default_fraction=sample_default_fraction,
+            )
+        if token_budgets is not None:
+            out = sample_to_token_budget(
+                out,
+                token_budgets,
+                strata_col=sample_strata_col,
+                weight_col=token_weight_col,
+                key_col=key,
+            )
         df = out.drop("__skey") if added else out
     (
         df.write.mode("overwrite")

@@ -123,3 +123,41 @@ def test_sample_rows_seeded_deterministic(spark, pages):
     a = {r["url"] for r in pages.sample(fraction=0.2, seed=42).select("url").collect()}
     b = {r["url"] for r in pages.sample(fraction=0.2, seed=42).select("url").collect()}
     assert a == b and 0 < len(a) < pages.count()
+
+
+def test_write_final_table_token_budget_option(spark, tmp_path):
+    # terminal-export token-budget mixing: per-language cumulative weight
+    # caps, deterministic and layout-independent, composable with the
+    # stratified fractions option
+    rows = [
+        (f"https://h{i}.ex/p{i}", ["en", "de"][i % 2], (i % 23) + 1)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "url string, lang_id string, word_count long")
+    budgets = {"en": 300, "de": 120}
+    p1 = write_final_table(df, str(tmp_path / "tb_a"), token_budgets=budgets)
+    p2 = write_final_table(
+        df.repartition(5), str(tmp_path / "tb_b"), token_budgets=budgets
+    )
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    assert {r["url"] for r in a.collect()} == {r["url"] for r in b.collect()}
+    sums = {
+        r["lang_id"]: r["s"]
+        for r in a.groupBy("lang_id").agg(F.sum("word_count").alias("s")).collect()
+    }
+    assert sums["en"] <= 300 and sums["de"] <= 120 and len(sums) == 2
+    assert 0 < a.count() < 400
+    # composes with fractions: budgets apply to the fraction survivors
+    p3 = write_final_table(
+        df,
+        str(tmp_path / "tb_c"),
+        sample_fractions={"en": 0.5, "de": 0.5},
+        token_budgets=budgets,
+    )
+    c = spark.read.parquet(p3)
+    csums = {
+        r["lang_id"]: r["s"]
+        for r in c.groupBy("lang_id").agg(F.sum("word_count").alias("s")).collect()
+    }
+    assert all(v <= budgets[k] for k, v in csums.items())
