@@ -1109,8 +1109,16 @@ def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # STABLE scratch path, overwritten per invocation — a fresh mkdtemp
-    # per oracle sweep would leak a full table copy into /tmp every run
-    path = os.path.join(tempfile.gettempdir(), "q_jsonl_export_scratch", "docs")
+    # per oracle sweep would leak a full table copy into /tmp every run.
+    # Scoped by applicationId so two concurrent sweeps on the same host
+    # (parallel CI, the co-tenant bench box) never clobber each other's
+    # scratch mid-read (round-5 ADVICE); within a session the path is
+    # stable and overwritten.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"q_jsonl_export_scratch_{spark.sparkContext.applicationId}",
+        "docs",
+    )
     export_jsonl(
         docs,
         path,
@@ -1145,9 +1153,15 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # stable, overwritten scratch root (no per-sweep /tmp leak)
+    # stable, overwritten scratch root (no per-sweep /tmp leak), scoped
+    # by applicationId so concurrent sweeps on one host don't clobber
+    # each other mid-read (round-5 ADVICE)
     store = CheckpointStore(
-        spark, os.path.join(tempfile.gettempdir(), "q_compact_scratch")
+        spark,
+        os.path.join(
+            tempfile.gettempdir(),
+            f"q_compact_scratch_{spark.sparkContext.applicationId}",
+        ),
     )
     store.vacuum()  # clear any crash leftovers from a previous sweep
     store.write(docs.repartition(16), "docs", count_rows=False)

@@ -712,13 +712,16 @@ def strip_boilerplate_lines(
     same uniform two-aggregate chain as
     :func:`cross_doc_dup_line_stats` (distinct (doc, line) → per-line
     doc counts with map-side combine); the hit set joins back onto the
-    1-row-per-(doc,pos,line) table on the uniform 8-byte line hash
-    (AQE-decided — the chrome vocabulary of a 10^12-doc corpus is NOT
-    assumed broadcastable); reassembly is one ``collect_list`` window
-    bounded by a single document's line count. ``hashed=False`` carries
-    the normalized line text instead of ``xxhash64`` through the
-    shuffles — the DuckDB-mirrorable twin (oracle query
-    ``strip_boilerplate``), pinned equal in tests.
+    1-row-per-(doc,pos,line) table on a uniform 16-byte dual-hash key
+    (two independently-seeded ``xxhash64`` values — a single 64-bit hash
+    would silently strip legitimate lines on birthday collisions at the
+    10^13-distinct-line design scale; AQE-decided join — the chrome
+    vocabulary of a 10^12-doc corpus is NOT assumed broadcastable);
+    reassembly is one ``collect_list`` window bounded by a single
+    document's line count. ``hashed=False`` carries the normalized line
+    text instead of the hashes through the shuffles — the
+    DuckDB-mirrorable twin (oracle query ``strip_boilerplate``), pinned
+    equal in tests.
     """
     for c in ("__k", "__pos", "__raw", "__norm", "__elig", "__nk", "__hit"):
         if c in docs.columns:
@@ -733,7 +736,20 @@ def strip_boilerplate_lines(
         "__pos",
         "__raw",
         (F.length(norm) >= min_line_chars).alias("__elig"),
-        (F.xxhash64(norm) if hashed else norm).alias("__nk"),
+        # hashed path carries TWO independently-seeded 64-bit hashes
+        # (~128-bit effective key): this operator REWRITES text, so a
+        # single-64-bit birthday collision at the 10^13-distinct-line
+        # design scale would silently strip a legitimate line with no
+        # trace (round-5 ADVICE). Struct equality rides the same
+        # groupBy/join shape at +8 bytes per shuffled row.
+        (
+            F.struct(
+                F.xxhash64(norm).alias("h1"),
+                F.xxhash64(norm, F.lit(0x9E3779B9)).alias("h2"),
+            )
+            if hashed
+            else norm
+        ).alias("__nk"),
     )
     boiler = (
         lines.filter(F.col("__elig"))

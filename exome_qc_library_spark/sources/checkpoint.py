@@ -186,21 +186,49 @@ class CheckpointStore:
         """Garbage-collect the crash windows: stage dirs with data but no
         manifest (torn writes — the resume gate already treats them as
         absent, this reclaims the bytes) and compaction scratch dirs
-        (``*.compact_tmp`` never swapped in, ``*.pre_compact`` never
-        deleted). Committed stages are untouched — a dir is only removed
-        when the manifest says so (absent), never by age or name alone.
-        Safe to run any time no writer is active on the store root; the
-        reference's operators likewise assume single-writer stage dirs
-        (``overwrite=True`` checkpoints)."""
-        removed: dict[str, list[str]] = {"torn": [], "scratch": []}
-        for name in sorted(os.listdir(self.root)):
+        (``*.compact_tmp`` never swapped in, ``*.pre_compact`` whose
+        stage committed). A ``*.pre_compact`` backup is deleted ONLY when
+        its stage dir holds a valid manifest; if a compaction crashed
+        mid-swap the backup is the last committed copy of the stage, so
+        vacuum RESTORES it (rename back over the torn/absent stage dir)
+        instead of deleting it — preserving the invariant that a dir is
+        only removed when the manifest says so (round-5 ADVICE).
+        Committed stages are untouched. Safe to run any time no writer is
+        active on the store root; the reference's operators likewise
+        assume single-writer stage dirs (``overwrite=True``
+        checkpoints)."""
+        removed: dict[str, list[str]] = {"torn": [], "scratch": [], "restored": []}
+        names = sorted(os.listdir(self.root))
+        for name in names:
             p = os.path.join(self.root, name)
             if not os.path.isdir(p):
                 continue
-            if name.endswith((".compact_tmp", ".pre_compact")):
+            if name.endswith(".compact_tmp"):
+                # never swapped in — no manifest by construction, pure scratch
                 shutil.rmtree(p)
                 removed["scratch"].append(name)
+            elif name.endswith(".pre_compact"):
+                stage_path = p[: -len(".pre_compact")]
+                if self.fmt.read_manifest(stage_path) is not None:
+                    # compaction committed — backup is redundant
+                    shutil.rmtree(p)
+                    removed["scratch"].append(name)
+                elif self.fmt.read_manifest(p) is not None:
+                    # crashed between compact()'s two renames: the backup
+                    # is the only committed copy — restore, don't delete
+                    if os.path.isdir(stage_path):
+                        shutil.rmtree(stage_path)  # torn swapped-in data
+                    os.rename(p, stage_path)
+                    removed["restored"].append(name)
+                else:
+                    shutil.rmtree(p)  # backup itself torn — unrecoverable
+                    removed["scratch"].append(name)
             elif self.fmt.read_manifest(p) is None:
-                shutil.rmtree(p)
-                removed["torn"].append(name)
+                # a torn stage whose .pre_compact backup holds a valid
+                # manifest is handled by the restore branch above — don't
+                # delete it here (the restore reuses the dir name)
+                bak = p + ".pre_compact"
+                if not (os.path.isdir(bak) and self.fmt.read_manifest(bak) is not None):
+                    shutil.rmtree(p)
+                    removed["torn"].append(name)
         return removed

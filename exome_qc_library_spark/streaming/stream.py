@@ -133,9 +133,18 @@ def streaming_exact_dedup(
     """
     from ..functions.hashing import exact_content_hash
 
+    # NULL-text rows fall back to the row key; when THAT is also NULL a
+    # per-row uuid keeps the state key unique — otherwise every
+    # NULL-text/NULL-key row would share the NULL-concat state key and
+    # all but the first would be dropped as "duplicates" (round-5 ADVICE)
     state_key = F.when(
         F.col(text_col).isNotNull(), exact_content_hash(F.col(text_col))
-    ).otherwise(F.concat(F.lit("__null__:"), F.col(key_col)))
+    ).otherwise(
+        F.concat(
+            F.lit("__null__:"),
+            F.coalesce(F.col(key_col).cast("string"), F.expr("uuid()")),
+        )
+    )
     # collision-safe temp name (round-4 ADVICE #4 convention): never
     # clobber-and-drop a user column
     tmp = "__chash"
@@ -233,7 +242,13 @@ def streaming_near_dup_matches(
     ttl_ms = None
     if state_ttl_minutes is not None:
         ttl_ms = int(state_ttl_minutes * 60_000)
-        exploded = exploded.withWatermark("ts", watermark_delay)
+        # a NULL event time reaches update() as NaT (int64-min), which
+        # would compute a far-past timeout and kill the query when
+        # setTimeoutTimestamp rejects it (round-5 ADVICE) — TTL mode
+        # requires an event time, mirroring the text-null filter above
+        exploded = exploded.filter(F.col("ts").isNotNull()).withWatermark(
+            "ts", watermark_delay
+        )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -142,10 +142,44 @@ def test_vacuum_reclaims_torn_and_scratch_only(spark):
     assert removed == {
         "torn": ["torn"],
         "scratch": ["stage.compact_tmp", "stage.pre_compact"],
+        "restored": [],
     }
     # the committed stage survives, fully readable
     assert store.exists("good") and store.read("good").count() == 1
     assert sorted(os.listdir(root)) == ["good"]
+
+
+def test_vacuum_restores_pre_compact_backup_after_mid_swap_crash(spark):
+    # crash between compact()'s two os.rename calls: the .pre_compact
+    # backup holds the only committed copy of the stage — vacuum must
+    # restore it, never delete it (round-5 ADVICE)
+    root = tempfile.mkdtemp()
+    store = CheckpointStore(spark, root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.write(df, "st")
+    # simulate the first rename having happened (stage dir gone)
+    os.rename(os.path.join(root, "st"), os.path.join(root, "st.pre_compact"))
+    assert not store.exists("st")
+    removed = store.vacuum()
+    assert removed["restored"] == ["st.pre_compact"] and removed["torn"] == []
+    assert store.exists("st") and store.read("st").count() == 2
+
+    # crash between the SECOND rename and the manifest update: stage dir
+    # holds manifest-less compacted data, backup holds the manifest —
+    # vacuum replaces the torn data with the committed backup
+    os.rename(os.path.join(root, "st"), os.path.join(root, "st.pre_compact"))
+    os.makedirs(os.path.join(root, "st"))
+    with open(os.path.join(root, "st", "part-junk.parquet"), "w") as fh:
+        fh.write("torn")
+    removed = store.vacuum()
+    assert removed["restored"] == ["st.pre_compact"] and removed["torn"] == []
+    assert store.exists("st") and store.read("st").count() == 2
+
+    # committed stage + leftover backup: backup is redundant → scratch
+    os.makedirs(os.path.join(root, "st.pre_compact"))
+    removed = store.vacuum()
+    assert removed["scratch"] == ["st.pre_compact"] and removed["restored"] == []
+    assert store.exists("st") and store.read("st").count() == 2
 
 
 def test_compact_on_iceberg_backend_raises_clearly(spark):

@@ -471,3 +471,55 @@ def test_streaming_near_dup_state_ttl_evicts_and_reseeds(spark):
     # TTL longer than the whole span: identical to the NoTimeout result
     long = run(24 * 60.0)
     assert {(k, rep) for k, rep in long} == {("a2", "a1"), ("a3", "a1")}
+
+
+def test_streaming_exact_dedup_null_text_null_key_rows_all_survive(spark):
+    """round-5 ADVICE: with text AND key both NULL the state key must not
+    collapse to a single NULL-concat group — every such row survives."""
+    import datetime
+
+    src = tempfile.mkdtemp(prefix="stream_nullkey_")
+    ckpt = tempfile.mkdtemp(prefix="stream_nullkey_ck_")
+    schema = "url string, warc_ts timestamp, text string"
+    rows = [
+        (None, datetime.datetime(2024, 1, 1, h), None) for h in range(1, 4)
+    ]
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        emitted = _run_dedup_stream(spark, src, ckpt)
+        assert emitted == [None, None, None]  # all three, none deduplicated
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_near_dup_ttl_ignores_null_event_time_rows(spark):
+    """round-5 ADVICE: with a TTL configured, a NULL event time would reach
+    the state fn as NaT and compute a far-past timeout that kills the
+    query — such rows are filtered in TTL mode and the query completes."""
+    import datetime
+
+    words = [f"w{i}" for i in range(80)]
+    ta = " ".join(words)
+    ta2 = " ".join(words[:-1] + ["changed"])
+    src = tempfile.mkdtemp(prefix="stream_nat_")
+    ckpt = tempfile.mkdtemp(prefix="stream_nat_ck_")
+    schema = "url string, warc_ts timestamp, text string"
+    rows = [
+        ("a1", datetime.datetime(2024, 1, 1, 1), ta),
+        ("nat", None, ta2),  # would NaT-poison the timeout computation
+        ("a2", datetime.datetime(2024, 1, 1, 1, 10), ta2),
+    ]
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        matches = _run_near_dup_stream(
+            spark, src, ckpt, state_ttl_minutes=60.0
+        )
+        assert ("a2", "a1") in {(k, rep) for k, rep in matches}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
