@@ -307,11 +307,6 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
-def q_counter_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 counter: group-count to dict analog."""
-    return _t(spark, sf_dir, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-
-
 def q_histogram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 histogram: fixed bins over n_chars (manual bucket arithmetic —
     identical in both engines)."""
@@ -326,17 +321,26 @@ FROM documents GROUP BY 1
 """
 
 
-def q_collect_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 collect_as_set (sorted, joined for stable hashing)."""
+def q_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 collect-as-set + A5 collect-to-array (carrier-list analog) in one
+    driver row (round-5 VERDICT #1: fit the registry to the driver's
+    50-row sweep): per language, the distinct source set AND the full
+    sorted doc-id list, both rendered as strings for stable hashing."""
     return (
         _t(spark, sf_dir, "documents")
         .groupBy("lang")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+            ).alias("doc_ids"),
+        )
     )
 
 
 _Q_COLLECT_SQL = """
-SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+       array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS doc_ids
 FROM documents GROUP BY lang
 """
 
@@ -561,20 +565,30 @@ GROUP BY o_orderstatus
 """
 
 
-def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 union + P12 distinct: en∪fr doc sources, deduplicated."""
+def q_union_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 union-cols + J7 union-rows + P12 distinct in one driver row
+    (round-5 VERDICT #1): recombine two column-disjoint projections of the
+    documents table by row key (Hail ``union_cols`` analog, including the
+    ``_r`` suffix rule on the deliberately overlapping ``n_chars``
+    column), slice the recombined table by language, stack the slices
+    with ``unionByName``, and deduplicate the value combinations."""
+    from .operators.enrich import union_cols
+
     docs = _t(spark, sf_dir, "documents")
-    a = docs.filter(F.col("lang") == "en").select("source", "lang")
-    b = docs.filter(F.col("lang") == "fr").select("source", "lang")
-    return a.unionByName(b).distinct()
+    left = docs.select("doc_id", "lang", "n_chars")
+    right = docs.select("doc_id", "source", F.col("n_chars"))
+    wide = union_cols(left, right, key="doc_id").select(
+        "source", "lang", "n_chars", "n_chars_r"
+    )
+    en = wide.filter(F.col("lang") == "en")
+    fr = wide.filter(F.col("lang") == "fr")
+    return en.unionByName(fr).distinct()
 
 
 _Q_UNION_SQL = """
-SELECT DISTINCT source, lang FROM (
-  SELECT source, lang FROM documents WHERE lang = 'en'
-  UNION ALL
-  SELECT source, lang FROM documents WHERE lang = 'fr'
-) t
+SELECT DISTINCT b.source, a.lang, a.n_chars, b.n_chars AS n_chars_r
+FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+WHERE a.lang IN ('en', 'fr')
 """
 
 
@@ -687,13 +701,33 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN baseline: brute-force cosine top-3 neighbors for query vectors
-    (vec_id < 5); deterministic ties by neighbor id."""
-    from .operators.similarity import cosine_topk_brute
+    """ANN: brute-force cosine top-3 (the exactness baseline) UNIONed with
+    the IVF assign→probe→top-k path under an ``algo`` discriminator — one
+    driver row checks both engines against their independent full oracles
+    (round-5 VERDICT #1). Brute ties are deterministic by neighbor id; the
+    IVF leg uses FIXED literal centroids so the whole plan is
+    SQL-mirrorable (k-means-lite training determinism is pinned in
+    tests/test_similarity.py)."""
+    from .operators.similarity import cosine_topk_brute, cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_brute(emb, emb.filter(F.col("vec_id") < 5), k=3)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    brute = cosine_topk_brute(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    cents = spark.createDataFrame(
+        _ivf_centroids(), "centroid_id long, centroid array<double>"
+    )
+    ivf = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 5), cents, k=3, n_probe=2)
+    cols = ["query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"]
+    return brute.select(F.lit("brute").alias("algo"), *cols).unionByName(
+        ivf.select(F.lit("ivf").alias("algo"), *cols)
+    )
+
+
+def _emb_topk_sql() -> str:
+    return f"""
+SELECT 'brute' AS algo, * FROM ({_Q_EMB_TOPK_SQL})
+UNION ALL
+SELECT 'ivf' AS algo, * FROM ({_ivf_topk_sql()})
+"""
 
 
 _Q_EMB_TOPK_SQL = """
@@ -925,14 +959,12 @@ FROM m
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "flagship_flag_counts": (flagship, _flagship_sql()),
     "text_metrics": (q_text_metrics, _Q_TEXT_METRICS_SQL()),
-    "langid_expr": (q_langid, _langid_sql()),
     "scrub_pii": (q_scrub, _scrub_sql()),
     "token_counts": (q_token_counts, _Q_TOKEN_SQL()),
     "fingerprint": (q_fingerprint, _Q_FINGERPRINT_SQL),
     "exact_dedup": (q_exact_dedup, _Q_EXACT_DEDUP_SQL),
-    "counter_lang": (q_counter_lang, "SELECT lang, count(*) AS n FROM documents GROUP BY lang"),
     "histogram_chars": (q_histogram_chars, _Q_HIST_SQL),
-    "collect_sources": (q_collect_sources, _Q_COLLECT_SQL),
+    "collect_sets": (q_collect_sets, _Q_COLLECT_SQL),
     "filtered_agg": (q_filtered_agg, _Q_FILTERED_AGG_SQL),
     "segment_zscore": (q_segment_zscore, _Q_SEGMENT_Z_SQL),
     "window_topk": (q_window_topk, _Q_TOPK_SQL),
@@ -943,12 +975,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize": (q_sessionize, _Q_SESSION_SQL),
     "tpch_pricing": (q_tpch_pricing, _Q_TPCH_SQL),
     "semi_join": (q_semi_join, _Q_SEMI_SQL),
-    "union_distinct": (q_union_distinct, _Q_UNION_SQL),
+    "union_ops": (q_union_ops, _Q_UNION_SQL),
     "stats_moments": (q_stats_moments, _Q_STATS_SQL),
     "explode_top_words": (q_explode_top_words, _Q_TOP_WORDS_SQL),
     "interval_join": (q_interval_join, _Q_INTERVAL_SQL),
     "jaccard_pairs": (q_jaccard_pairs, _Q_JACCARD_SQL),
-    "embedding_topk": (q_embedding_topk, _Q_EMB_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, _Q_EMB_NEARDUP_SQL),
     "doc_verdicts": (q_doc_verdicts, _doc_verdicts_sql()),
     "quality_score": (q_quality_score, _Q_QUALITY_SQL()),
@@ -957,26 +988,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 }
 
 
-def q_collect_carriers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 collect-to-array (carrier-list analog): sorted doc ids per
-    (source, lang) rendered as a string for stable hashing."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source", "lang").agg(
-        F.concat_ws(",", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))).alias(
-            "doc_ids"
-        )
-    )
-
-
-_Q_CARRIERS_SQL = """
-SELECT source, lang,
-       array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS doc_ids
-FROM documents GROUP BY source, lang
-"""
-
-
 def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping-sets rollup over (lang, source)."""
+    """A9 CUBE grouping-sets rollup over (lang, source); the (lang)
+    grouping set IS the A4 counter (group-count-to-dict analog), folded
+    in here per round-5 VERDICT #1."""
     docs = _t(spark, sf_dir, "documents")
     return docs.cube("lang", "source").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars")
@@ -1036,7 +1051,12 @@ def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both run through the REAL fit (``pyspark.ml`` PCA → loadings) and the
     REAL expression projection (``project_pcs``) — a wrong eigenbasis, a
-    non-orthonormal loading, or a projection bug breaks the hash."""
+    non-orthonormal loading, or a projection bug breaks the hash.
+
+    Also carries the K7 ``pc_project`` fixed-loading projection
+    (``fixed_pc1``/``fixed_pc2`` onto literal axes — a deterministic
+    left-fold dot product whose values ARE directly SQL-comparable),
+    folded into this driver row per round-5 VERDICT #1."""
     from functools import reduce
 
     from .operators.pca import fit_pca, project_pcs
@@ -1052,12 +1072,26 @@ def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             reduce(lambda a, c: a + F.var_samp(F.col(c)), pc_cols, F.lit(0.0)), 4
         ).alias("total_var")
     )
-    return scored.select(
-        "vec_id", F.round(norm, 4).alias("score_norm")
-    ).crossJoin(F.broadcast(total))
+    fixed = project_pcs(emb, [_PC_AXIS_1, _PC_AXIS_2]).select(
+        "vec_id",
+        F.round("pc1", 4).alias("fixed_pc1"),
+        F.round("pc2", 4).alias("fixed_pc2"),
+    )
+    return (
+        scored.select("vec_id", F.round(norm, 4).alias("score_norm"))
+        .crossJoin(F.broadcast(total))
+        .join(fixed, "vec_id")
+    )
 
 
-_Q_PCA_SQL = """
+def _pca_scores_sql() -> str:
+    def chain(axis: list[float]) -> str:
+        e = "0.0"
+        for i, v in enumerate(axis):
+            e = f"({e} + embedding[{i + 1}]::DOUBLE * {v!r})"
+        return e
+
+    return f"""
 WITH sq AS (
   SELECT vec_id, round(sqrt(sum(CAST(v AS DOUBLE) * v)), 4) AS score_norm
   FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
@@ -1070,8 +1104,14 @@ tv AS (
           FROM embeddings)
     GROUP BY i
   )
+),
+fx AS (
+  SELECT vec_id, round({chain(_PC_AXIS_1)}, 4) AS fixed_pc1,
+         round({chain(_PC_AXIS_2)}, 4) AS fixed_pc2
+  FROM embeddings
 )
-SELECT vec_id, score_norm, total_var FROM sq CROSS JOIN tv
+SELECT sq.vec_id, score_norm, total_var, fixed_pc1, fixed_pc2
+FROM sq CROSS JOIN tv JOIN fx ON sq.vec_id = fx.vec_id
 """
 
 
@@ -1332,6 +1372,25 @@ FROM p
 """
 
 
+def q_langid_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 language-ID (expression scorer) joined with the A12/K3
+    perplexity threshold-into-flag semantics — the two scorers share one
+    fused pass in production (``operators/langid.py``), so the registry
+    checks them as a single driver row (round-5 VERDICT #1: fit the
+    registry to the driver's 50-row sweep). Both component queries keep
+    their own oracle SQL generators; this composes them with a key join."""
+    return q_langid(spark, sf_dir).join(q_perplexity_flags(spark, sf_dir), "doc_id")
+
+
+def _langid_perplexity_sql() -> str:
+    return f"""
+WITH L AS ({_langid_sql()}),
+P AS ({_perplexity_flags_sql()})
+SELECT L.doc_id, L.lang, L.lang_id, L.lang_conf, P.flags
+FROM L JOIN P ON L.doc_id = P.doc_id
+"""
+
+
 def q_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 ingest extraction (split-multi analog): synthesize page bytes
     from ``text``, run the REAL expression extractor, assert round-trip —
@@ -1363,53 +1422,6 @@ FROM documents
 
 _PC_AXIS_1 = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
 _PC_AXIS_2 = [i / 64.0 for i in range(64)]  # exact binary fractions
-
-
-def q_pc_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K7 pc_project: expression projection onto fixed loadings
-    (deterministic left-fold dot product; PCA *fit* determinism is pinned
-    in tests/test_sinks_pca.py — SVD sign conventions keep the fit itself
-    rows-only, see ``pca_scores``)."""
-    from .operators.pca import project_pcs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    out = project_pcs(emb, [_PC_AXIS_1, _PC_AXIS_2])
-    return out.select(
-        "vec_id", F.round("pc1", 4).alias("pc1"), F.round("pc2", 4).alias("pc2")
-    )
-
-
-def _pc_project_sql() -> str:
-    def chain(axis: list[float]) -> str:
-        e = "0.0"
-        for i, v in enumerate(axis):
-            e = f"({e} + embedding[{i + 1}]::DOUBLE * {v!r})"
-        return e
-
-    return f"""
-SELECT vec_id, round({chain(_PC_AXIS_1)}, 4) AS pc1, round({chain(_PC_AXIS_2)}, 4) AS pc2
-FROM embeddings
-"""
-
-
-def q_union_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 union-cols: two column-disjoint projections of the documents
-    table recombined by row key (Hail ``union_cols`` analog), with a
-    deliberately overlapping column to exercise the suffix rule."""
-    from .operators.enrich import union_cols
-
-    docs = _t(spark, sf_dir, "documents")
-    left = docs.select("doc_id", "lang", "n_chars")
-    right = docs.select("doc_id", "source", F.col("n_chars"))
-    return union_cols(left, right, key="doc_id").select(
-        "doc_id", "lang", "source", "n_chars", "n_chars_r"
-    )
-
-
-_Q_UNION_COLS_SQL = """
-SELECT a.doc_id, a.lang, b.source, a.n_chars, b.n_chars AS n_chars_r
-FROM documents a JOIN documents b ON a.doc_id = b.doc_id
-"""
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2003,7 +2015,7 @@ UNION ALL SELECT * FROM webp_vp8 UNION ALL SELECT * FROM webp_vp8l
 
 QUERIES.update(
     {
-        "ivf_topk": (q_ivf_topk, _ivf_topk_sql()),
+        "embedding_topk": (q_embedding_topk, _emb_topk_sql()),
         "media_dims": (q_media_dims, _media_dims_sql()),
         "host_cap": (q_host_cap, _Q_HOST_CAP_SQL),
         "decontaminate": (q_decontaminate, _Q_DECON_SQL),
@@ -2012,25 +2024,22 @@ QUERIES.update(
         "packing_bins": (q_packing_bins, _packing_bins_sql()),
         "cross_doc_lines": (q_cross_doc_lines, _Q_CROSS_LINES_SQL),
         "strip_boilerplate": (q_strip_boilerplate, _Q_STRIP_SQL),
-        "collect_carriers": (q_collect_carriers, _Q_CARRIERS_SQL),
         "cube_counts": (q_cube_counts, _Q_CUBE_SQL),
         "sample_rows": (q_sample_rows, _Q_SAMPLE_SQL),
         # round-4 VERDICT #5: pca_scores now carries a FULL oracle on
         # sign-invariant facts (norm preservation + trace conservation of
         # the full-rank fit); the raw score values remain convention-
         # dependent and are pinned by the determinism pytest instead.
-        "pca_scores": (q_pca_scores, _Q_PCA_SQL),
+        "pca_scores": (q_pca_scores, _pca_scores_sql()),
         "flatten_export": (q_flatten_export, _Q_FLATTEN_SQL),
         "jsonl_export": (q_jsonl_export, _Q_JSONL_EXPORT_SQL),
         "compact_roundtrip": (q_compact_roundtrip, _Q_COMPACT_SQL),
         "host_metrics": (q_host_metrics, _host_metrics_sql()),
         "host_outliers": (q_host_outliers, _host_outliers_sql()),
         "iterative_outliers": (q_iterative_outliers, _Q_ITER_OUTLIERS_SQL),
-        "perplexity_flags": (q_perplexity_flags, _perplexity_flags_sql()),
+        "langid_perplexity": (q_langid_perplexity, _langid_perplexity_sql()),
         "ingest_extract": (q_ingest_extract, _Q_INGEST_SQL),
-        "pc_project": (q_pc_project, _pc_project_sql()),
         "media_meta": (q_media_meta, _media_meta_sql()),
-        "union_cols": (q_union_cols, _Q_UNION_COLS_SQL),
     }
 )
 
