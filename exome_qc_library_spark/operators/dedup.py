@@ -438,10 +438,30 @@ def flag_near_duplicates(
     use_driver_cc: bool | None = None,
     max_driver_pairs: int = 5_000_000,
     prefer: list | None = None,
+    algo: str = "minhash",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Full near-dup stage: LSH pairs → threshold → components →
+    """Full near-dup stage: sketch pairs → threshold → components →
     representative per cluster → ``near_duplicate`` flags,
     ``dup_cluster_id`` annotation. Row count preserved.
+
+    ``algo`` selects the pair generator (round-5 VERDICT #2 — the sketch
+    is the fattest pipeline cost, and the cheaper engine should be a
+    pipeline-reachable knob, not just a standalone operator):
+
+    * ``"minhash"`` (default) — banded MinHash-LSH over word shingles;
+      ``threshold``/``num_perm``/``bands`` apply. Highest recall on
+      reordered/partially-overlapping text.
+    * ``"simhash"`` — 64-bit SimHash with 16-bit quarter blocking and
+      exact Hamming verification ≤ ``max_hamming``; one 8-byte sketch per
+      doc instead of ``num_perm`` minima, so the sketch pass is several
+      times cheaper. Catches char-level near-identity; text with many
+      scattered word edits that MinHash still flags can fall outside the
+      Hamming ball (documented recall trade — see
+      tests/test_dedup.py::test_near_dup_algo_knob_agreement).
+
+    Everything downstream of pair generation (size-gated clustering,
+    representative election, flag semantics) is shared verbatim.
 
     ``use_driver_cc=None`` (default) SIZE-GATES the clustering path
     (round-4 VERDICT #1 — the last place where 100-TB safety depended on
@@ -465,9 +485,22 @@ def flag_near_duplicates(
     lies within one component — the reference's nx-independent-set sanity
     assertion, ``shared/samples_qc.py:656-664``; pinned in tests).
     """
-    pairs = minhash_candidate_pairs(
-        df, key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands
-    ).filter(F.col("jaccard_est") >= threshold)
+    if algo == "minhash":
+        pairs = minhash_candidate_pairs(
+            df, key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands
+        ).filter(F.col("jaccard_est") >= threshold)
+    elif algo == "simhash":
+        tmp = "__sh"
+        while tmp in df.columns:
+            tmp += "_"
+        pairs = simhash_pairs(
+            with_simhash(df, text_col=text_col, out_col=tmp),
+            key_col=key_col,
+            sim_col=tmp,
+            max_hamming=max_hamming,
+        ).select("a", "b")
+    else:
+        raise ValueError(f"unknown near-dup algo {algo!r}: minhash|simhash")
     if use_driver_cc is None:
         # materialize once so the gate count and the chosen CC path share
         # the LSH work instead of recomputing the sketch pipeline twice

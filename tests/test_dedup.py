@@ -468,3 +468,75 @@ def test_strip_boilerplate_null_key_passes_through_unstripped(spark):
     out = {r["url"]: r["text_clean"] for r in strip_boilerplate_lines(docs, min_docs=3).collect()}
     assert out["k1"] == "alpha"
     assert out[None] == f"delta content here\n{footer}"  # unstripped, not ""
+
+
+def test_near_dup_algo_knob_agreement(spark):
+    """round-5 VERDICT #2: the simhash engine behind flag_near_duplicates
+    must agree with the minhash engine on star clusters at matched
+    thresholds — exact copies and single-word edits flagged by BOTH, the
+    unrelated doc and NULL text flagged by NEITHER, and the shared
+    downstream (representative election, cluster ids, row preservation)
+    identical. Fixture sized so the one-word edit lands inside the
+    default Hamming ball (≤3 — also the 4-quarter pigeonhole guarantee);
+    deterministic because both sketches are seeded expressions."""
+    words = [f"w{i}" for i in range(400)]
+    base = " ".join(words)
+    edit = " ".join(words[:200] + ["CHANGED"] + words[201:])  # hamming 3
+    rows = [
+        ("u1", _ts(1), base),
+        ("u2", _ts(2), base),  # exact dup of u1
+        ("u3", _ts(0), edit),  # near dup, EARLIEST crawl
+        ("u4", _ts(3), "completely different content about spark engines " * 10),
+        ("u5", _ts(4), None),
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out_mh = flag_near_duplicates(docs, threshold=0.5, algo="minhash")
+    out_sh = flag_near_duplicates(docs, threshold=0.5, algo="simhash", max_hamming=3)
+    for out in (out_mh, out_sh):
+        flags = {r["url"]: r["final_failing_qc"] for r in out.collect()}
+        assert flags["u1"] == ["near_duplicate"]  # later than u3's crawl
+        assert flags["u2"] == ["near_duplicate"]
+        assert flags["u3"] == []  # earliest crawl = representative
+        assert flags["u4"] == [] and flags["u5"] == []
+        assert out.count() == 5
+    # identical cluster structure on this corpus
+    cl = lambda out: {
+        r["url"]: r["dup_cluster_id"] for r in out.collect()
+    }  # noqa: E731
+    assert cl(out_mh) == cl(out_sh)
+    # no simhash sketch column leaks into the output
+    assert [c for c in out_sh.columns if c.startswith("__sh")] == []
+
+
+def test_near_dup_unknown_algo_raises(spark):
+    try:
+        flag_near_duplicates(_docs(spark), algo="phash")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "phash" in str(e)
+
+
+def test_near_dup_simhash_documented_recall_trade(spark):
+    """Scattered word edits: every 10th word changed keeps shingle overlap
+    high enough for MinHash at a loose threshold but pushes the SimHash
+    Hamming distance past the ball — the documented recall trade, pinned
+    so a silent behavior change in either engine surfaces here."""
+    words = [f"w{i}" for i in range(120)]
+    a = " ".join(words)
+    scattered = " ".join(
+        (w if i % 10 else f"x{i}") for i, w in enumerate(words)
+    )
+    rows = [("a", _ts(1), a), ("b", _ts(2), scattered)]
+    docs = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    mh = flag_near_duplicates(docs, threshold=0.5, algo="minhash")
+    sh = flag_near_duplicates(docs, threshold=0.5, algo="simhash", max_hamming=3)
+    mh_flagged = {
+        r["url"]
+        for r in mh.filter(F.array_contains("final_failing_qc", "near_duplicate")).collect()
+    }
+    sh_flagged = {
+        r["url"]
+        for r in sh.filter(F.array_contains("final_failing_qc", "near_duplicate")).collect()
+    }
+    assert mh_flagged == {"b"}
+    assert sh_flagged == set()
