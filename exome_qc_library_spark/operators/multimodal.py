@@ -319,6 +319,246 @@ def with_media_dims(
     return out.withColumn(out_col, dims).drop(tmp)
 
 
+# --------------------- audio/video container metadata (round-5 VERDICT #3)
+
+
+def wav_meta_from_hex(hx: Column, max_chunks: int = 16) -> Column:
+    """``struct<sample_rate, channels, bits_per_sample, duration_ms>`` from
+    a RIFF/WAVE header — a bounded chunk walk as ONE aggregate expression
+    (no UDF), the same pattern as the JPEG SOF marker walk.
+
+    RIFF layout: ``RIFF`` size ``WAVE``, then chunks ``id(4) | size(LE
+    u32) | data`` starting at byte 13, word-aligned (odd sizes pad one
+    byte). The walk hops chunks capturing the ``fmt `` fields (channels
+    LE u16 @ +10, sample rate LE u32 @ +12, byte rate LE u32 @ +16, bits
+    LE u16 @ +22) and the ``data`` chunk's SIZE FIELD; duration_ms =
+    data_bytes·1000 / byte_rate. The duration comes from the declared
+    size, so a payload whose data bytes are truncated after the header
+    still reports the encoded duration — while a header that does not
+    fit the scanned window yields NULL, never a wrong value. LIST/INFO
+    or other foreign chunks are hopped, not parsed. ``hx`` must be a
+    projected column (see :func:`with_media_av`)."""
+
+    def le16(p: Column) -> Column:
+        lo = F.conv(F.substring(hx, p * 2 - 1, 2), 16, 10).cast("long")
+        hi = F.conv(F.substring(hx, p * 2 + 1, 2), 16, 10).cast("long")
+        return lo + hi * 256
+
+    def le32(p: Column) -> Column:
+        return le16(p) + le16(p + 2) * 65536
+
+    is_wav = (F.substring(hx, 1, 8) == "52494646") & (
+        F.substring(hx, 17, 8) == "57415645"
+    )
+    init = F.struct(
+        F.lit(13).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("rate"),
+        F.lit(None).cast("long").alias("ch"),
+        F.lit(None).cast("long").alias("bits"),
+        F.lit(None).cast("long").alias("brate"),
+        F.lit(None).cast("long").alias("dsize"),
+    )
+    out_of_scan = F.lit(1 << 40).cast("long")
+
+    def step(acc: Column, _: Column) -> Column:
+        p = acc["pos"]
+        done = acc["rate"].isNotNull() & acc["dsize"].isNotNull()
+        valid = (p + 7) * 2 <= F.length(hx)  # id + size header in window
+        cid = F.substring(hx, p * 2 - 1, 8)
+        csize = le32(p + 4)
+        nxt = p + 8 + csize + F.pmod(csize, F.lit(2))
+        fmt_fits = (p + 23) * 2 <= F.length(hx)
+        return (
+            F.when(done | ~valid, acc)
+            .when(
+                cid == F.lit("666D7420"),  # 'fmt '
+                F.when(
+                    fmt_fits,
+                    F.struct(
+                        nxt.alias("pos"),
+                        le32(p + 12).alias("rate"),
+                        le16(p + 10).alias("ch"),
+                        le16(p + 22).alias("bits"),
+                        le32(p + 16).alias("brate"),
+                        acc["dsize"].alias("dsize"),
+                    ),
+                ).otherwise(  # fmt header beyond the window: stop, stay NULL
+                    F.struct(
+                        out_of_scan.alias("pos"),
+                        acc["rate"],
+                        acc["ch"],
+                        acc["bits"],
+                        acc["brate"],
+                        acc["dsize"],
+                    )
+                ),
+            )
+            .when(
+                cid == F.lit("64617461"),  # 'data' — size field only
+                F.struct(
+                    nxt.alias("pos"),
+                    acc["rate"],
+                    acc["ch"],
+                    acc["bits"],
+                    acc["brate"],
+                    csize.alias("dsize"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    nxt.alias("pos"),
+                    acc["rate"],
+                    acc["ch"],
+                    acc["bits"],
+                    acc["brate"],
+                    acc["dsize"],
+                )
+            )
+        )
+
+    st = F.aggregate(F.sequence(F.lit(1), F.lit(max_chunks)), init, step)
+    # full 5-field AV struct (timescale always NULL for WAV) so callers
+    # evaluate the walk exactly ONCE — interpreted HOF expressions get no
+    # common-subexpression elimination, so referencing st through two
+    # separate parser calls would re-run the whole fold per reference
+    return F.when(
+        is_wav & st["rate"].isNotNull(),
+        F.struct(
+            st["rate"].alias("sample_rate"),
+            st["ch"].alias("channels"),
+            st["bits"].alias("bits_per_sample"),
+            F.lit(None).cast("long").alias("timescale"),
+            F.when(
+                st["dsize"].isNotNull() & (st["brate"] > 0),
+                F.floor(st["dsize"] * 1000 / st["brate"]).cast("long"),
+            ).alias("duration_ms"),
+        ),
+    )
+
+
+def mp4_meta_from_hex(hx: Column, max_boxes: int = 16) -> Column:
+    """``struct<timescale, duration_ms>`` from an ISO-BMFF (MP4/MOV)
+    ``moov``→``mvhd`` box walk — one bounded aggregate expression.
+
+    Top-level boxes are ``size(BE u32) | type(4) | payload``; the walk
+    skips foreign boxes by their size field, DESCENDS into ``moov``
+    (+8), and parses ``mvhd``: version 0 has timescale BE u32 at box+20
+    and duration BE u32 at box+24; version 1 shifts them to +28 / +32
+    with a 64-bit duration. duration_ms = duration·1000 / timescale —
+    the clip length a training-data filter actually gates on. A size
+    field < 8 (torn/hostile), a 64-bit ``largesize`` box (size == 1), or
+    an mvhd beyond the scanned window stops the walk and yields NULL,
+    never a wrong value. ``hx`` must be a projected column."""
+
+    def be32(p: Column) -> Column:
+        return F.conv(F.substring(hx, p * 2 - 1, 8), 16, 10).cast("long")
+
+    def be64(p: Column) -> Column:
+        return F.conv(F.substring(hx, p * 2 - 1, 16), 16, 10).cast("long")
+
+    is_mp4 = F.substring(hx, 9, 8) == "66747970"  # 'ftyp' at byte 5
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("ts"),
+        F.lit(None).cast("long").alias("dur"),
+    )
+    out_of_scan = F.lit(1 << 40).cast("long")
+
+    def stop(acc: Column) -> Column:
+        return F.struct(out_of_scan.alias("pos"), acc["ts"], acc["dur"])
+
+    def step(acc: Column, _: Column) -> Column:
+        p = acc["pos"]
+        done = acc["ts"].isNotNull()
+        valid = (p + 7) * 2 <= F.length(hx)
+        bsize = be32(p)
+        btype = F.substring(hx, p * 2 + 7, 8)
+        version = F.substring(hx, p * 2 + 15, 2)
+        v0_fits = (p + 27) * 2 <= F.length(hx)
+        v1_fits = (p + 39) * 2 <= F.length(hx)
+        return (
+            F.when(done | ~valid, acc)
+            .when(
+                btype == F.lit("6D766864"),  # 'mvhd'
+                F.when(
+                    (version == "00") & v0_fits,
+                    F.struct(p.alias("pos"), be32(p + 20).alias("ts"), be32(p + 24).alias("dur")),
+                )
+                .when(
+                    (version == "01") & v1_fits,
+                    F.struct(p.alias("pos"), be32(p + 28).alias("ts"), be64(p + 32).alias("dur")),
+                )
+                .otherwise(stop(acc)),
+            )
+            .when(btype == F.lit("6D6F6F76"), F.struct((p + 8).alias("pos"), acc["ts"], acc["dur"]))  # descend into 'moov'
+            .when(bsize < 8, stop(acc))  # torn size field / 64-bit largesize
+            .otherwise(F.struct((p + bsize).alias("pos"), acc["ts"], acc["dur"]))
+        )
+
+    st = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), init, step)
+    # full 5-field AV struct (audio fields always NULL for MP4) — same
+    # single-evaluation contract as wav_meta_from_hex
+    return F.when(
+        is_mp4 & st["ts"].isNotNull() & (st["ts"] > 0),
+        F.struct(
+            F.lit(None).cast("long").alias("sample_rate"),
+            F.lit(None).cast("long").alias("channels"),
+            F.lit(None).cast("long").alias("bits_per_sample"),
+            st["ts"].alias("timescale"),
+            F.floor(st["dur"] * 1000 / st["ts"]).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def with_media_av(
+    df: DataFrame,
+    bin_col: str = "html",
+    out_col: str = "media_av",
+    scan_bytes: int = 4096,
+    max_chunks: int = 16,
+) -> DataFrame:
+    """Audio/video container metadata as a
+    ``struct<sample_rate, channels, bits_per_sample, timescale,
+    duration_ms>`` column — pure byte expressions over the payload
+    header, no codec libraries (round-5 VERDICT #3: clip length /
+    sample rate is what a multimodal training pipeline filters on, and
+    it lives in the container header, not the encoded stream). WAV fills
+    the audio fields; MP4/MOV fills ``timescale`` + ``duration_ms``;
+    everything else (and any truncated/garbled header) yields NULL.
+
+    Same scale shape as :func:`with_media_dims`: the hex prefix is
+    projected ONCE into a collision-safe temp column so the aggregate
+    folds read a bound column reference, and only sniffed WAV/MP4 rows
+    hex the deep ``scan_bytes`` window (a ``moov`` after a multi-KB
+    ``free`` box, a LIST/INFO block before ``fmt ``) — other rows pay 16
+    bytes."""
+    tmp = "__avhx"
+    while tmp in df.columns:
+        tmp += "_"
+    head = F.hex(F.substring(F.col(bin_col), 1, 16))
+    is_av = (
+        (F.substring(head, 1, 8) == "52494646")
+        & (F.substring(head, 17, 8) == "57415645")
+    ) | (F.substring(head, 9, 8) == "66747970")
+    out = df.withColumn(
+        tmp,
+        F.hex(
+            F.col(bin_col).substr(
+                F.lit(1), F.when(is_av, scan_bytes).otherwise(F.lit(16))
+            )
+        ),
+    )
+    hx = F.col(tmp)
+    # each parser returns the full 5-field struct and is referenced
+    # exactly once — see the single-evaluation note in the parsers
+    av = F.when(
+        (F.substring(hx, 1, 8) == "52494646")
+        & (F.substring(hx, 17, 8) == "57415645"),
+        wav_meta_from_hex(hx, max_chunks),
+    ).when(F.substring(hx, 9, 8) == "66747970", mp4_meta_from_hex(hx, max_chunks))
+    return out.withColumn(out_col, av).drop(tmp)
+
+
 def byte_features(payload: bytes) -> list[float]:
     """Codec-free per-payload features: Shannon entropy (bits/byte) followed
     by a 16-bucket normalized byte histogram (high nibble). Vectorized

@@ -267,3 +267,129 @@ def test_media_dims_temp_column_collision_safe(spark):
     out = with_media_dims(df, bin_col="payload").collect()[0]
     assert out["__hx"] == "keepme"
     assert (out["media_dims"]["width"], out["media_dims"]["height"]) == (12, 34)
+
+
+def _wav_bytes(
+    rate=44100,
+    channels=2,
+    bits=16,
+    n_data=176400,
+    junk_before_fmt=0,
+    list_between=0,
+    data_truncated=True,
+):
+    """Minimal RIFF/WAVE with optional foreign chunks — real byte layout,
+    built with struct.pack so the expression parser is tested against an
+    independent serializer."""
+    import struct
+
+    chunks = b""
+    if junk_before_fmt:
+        pad = junk_before_fmt + (junk_before_fmt % 2)
+        chunks += b"JUNK" + struct.pack("<I", junk_before_fmt) + b"\x00" * pad
+    byte_rate = rate * channels * (bits // 8)
+    block_align = channels * (bits // 8)
+    chunks += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, byte_rate, block_align, bits
+    )
+    if list_between:
+        pad = list_between + (list_between % 2)
+        chunks += b"LIST" + struct.pack("<I", list_between) + b"\x41" * pad
+    chunks += b"data" + struct.pack("<I", n_data)
+    if not data_truncated:
+        chunks += b"\x00" * n_data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _mp4_bytes(timescale=1000, duration=63500, version=0, free_size=0, v1=False):
+    """Minimal ISO-BMFF: ftyp + optional free + moov(mvhd) — real box
+    layout via struct.pack."""
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
+    free = (struct.pack(">I", 8 + free_size) + b"free" + b"\x00" * free_size) if free_size else b""
+    if v1:
+        body = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+    else:
+        body = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">I", timescale) + struct.pack(">I", duration)
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + free + moov
+
+
+def test_media_av_wav_mp4_expressions(spark):
+    """round-5 VERDICT #3: WAV fmt-chunk rate/channels/bits/duration and
+    MP4 mvhd timescale/duration as pure byte expressions, against
+    independently struct.pack-serialized containers — incl. foreign-chunk
+    hops, mvhd v1, and truncated/junk payloads yielding NULL, never
+    wrong values."""
+    from exome_qc_library_spark.operators.multimodal import with_media_av
+
+    rows = [
+        ("wav_plain", _wav_bytes()),
+        ("wav_junk", _wav_bytes(rate=8000, channels=1, bits=8, n_data=8000, junk_before_fmt=37)),
+        ("wav_list", _wav_bytes(rate=48000, channels=6, bits=24, n_data=48000 * 6 * 3 * 2, list_between=26)),
+        ("wav_nodata", _wav_bytes()[: 12 + 8 + 16]),  # fmt only, data header cut
+        ("wav_torn", b"RIFF\x10\x00\x00\x00WAVEfm"),  # fmt id itself truncated
+        ("mp4_plain", _mp4_bytes()),
+        ("mp4_free", _mp4_bytes(timescale=90000, duration=90000 * 7 + 45000, free_size=73)),
+        ("mp4_v1", _mp4_bytes(timescale=600, duration=600 * 120, v1=True)),
+        ("mp4_torn", b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00\x00\x00\x00\x00moov"),  # size 0 follows
+        ("not_av", b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, payload binary")
+    out = {r["k"]: r["media_av"] for r in with_media_av(df, bin_col="payload").collect()}
+    p = out["wav_plain"]
+    assert (p["sample_rate"], p["channels"], p["bits_per_sample"]) == (44100, 2, 16)
+    assert p["duration_ms"] == 176400 * 1000 // (44100 * 2 * 2)  # 1000 ms
+    assert p["timescale"] is None
+    j = out["wav_junk"]
+    assert (j["sample_rate"], j["channels"], j["bits_per_sample"]) == (8000, 1, 8)
+    assert j["duration_ms"] == 1000
+    li = out["wav_list"]
+    assert (li["sample_rate"], li["channels"], li["bits_per_sample"]) == (48000, 6, 24)
+    assert li["duration_ms"] == 2000
+    nd = out["wav_nodata"]
+    assert nd["sample_rate"] == 44100 and nd["duration_ms"] is None
+    assert out["wav_torn"] is None
+    m = out["mp4_plain"]
+    assert m["timescale"] == 1000 and m["duration_ms"] == 63500
+    assert m["sample_rate"] is None and m["channels"] is None
+    fr = out["mp4_free"]
+    assert fr["timescale"] == 90000 and fr["duration_ms"] == 7500
+    v1 = out["mp4_v1"]
+    assert v1["timescale"] == 600 and v1["duration_ms"] == 120000
+    assert out["mp4_torn"] is None
+    assert out["not_av"] is None and out["null"] is None
+
+
+def test_media_dims_query_parses_nonnull_for_all_seven_kinds(spark):
+    """Anti-vacuous-oracle guard (round-5 lesson: a synth bug that NULLs
+    BOTH engines identically is invisible to value-hash equality): every
+    payload kind the media_dims query synthesizes must parse non-NULL in
+    its relevant fields."""
+    from exome_qc_library_spark.entry_queries import q_media_dims
+
+    out = q_media_dims(spark, "/root/testdata/sf0.001").collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert set(by_kind) == {"png", "jpeg", "gif", "webp_vp8", "webp_vp8l", "wav", "mp4"}
+    for kind in ("png", "jpeg", "gif", "webp_vp8", "webp_vp8l"):
+        assert all(
+            r["width"] is not None and r["height"] is not None for r in by_kind[kind]
+        ), kind
+        assert all(r["sample_rate"] is None and r["timescale"] is None for r in by_kind[kind])
+    assert all(
+        r["sample_rate"] is not None
+        and r["channels"] is not None
+        and r["bits_per_sample"] == 16
+        and r["duration_ms"] is not None
+        and r["width"] is None
+        for r in by_kind["wav"]
+    )
+    assert all(
+        r["timescale"] is not None and r["duration_ms"] is not None and r["width"] is None
+        for r in by_kind["mp4"]
+    )
