@@ -30,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+# host kernel-storm classifier threshold (sys-cores over the pipeline
+# window) — keep in sync with tools/bench_scaling._is_storm
+STORM_SYS_CORES = 4.0
 
 BENCH_QUERIES = [
     "flagship_flag_counts",
@@ -150,7 +153,6 @@ def main() -> None:
     # close within ~2 min and the whole pair must fit inside one)
     pages_pre = os.environ.get("SPARK_GRAFT_PAGES_DIR")
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
-    ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
     try:
         if pages_pre:
             pages = spark.read.parquet(pages_pre)
@@ -159,32 +161,73 @@ def main() -> None:
                 spark, n_docs=BENCH_DOCS, seed=42, with_edge_cases=False
             ).write.mode("overwrite").parquet(os.path.join(pages_dir, "pages"))
             pages = spark.read.parquet(os.path.join(pages_dir, "pages"))
-        cpu0 = _executor_cpu_seconds(spark)
-        host0 = _host_cpu_jiffies()
-        t0 = time.monotonic()
-        pipe = build_quality_pipeline(CheckpointStore(spark, ckpt_dir))
-        out = pipe.run(pages)
-        n_docs = out.count()
-        pipeline_sec = time.monotonic() - t0
-        cpu1 = _executor_cpu_seconds(spark)
-        host1 = _host_cpu_jiffies()
-        pipeline_cpu = (
-            round(cpu1 - cpu0, 3) if cpu0 is not None and cpu1 is not None else None
-        )
-        host_cpu = None
-        if host0 is not None and host1 is not None:
-            tick = os.sysconf("SC_CLK_TCK") or 100
-            host_cpu = {k: round((host1[k] - host0[k]) / tick, 1) for k in host0}
-        timings["pipeline_e2e"] = round(pipeline_sec, 3)
-        docs_per_sec = round(n_docs / pipeline_sec, 1)
-        # stage-level breakdown (round-3 VERDICT #6): lazy stages register
-        # ~0s here — their work lands in the next materializing stage's
-        # number, which is exactly the granularity the checkpoints run at.
-        # Makes the next noise-vs-regression call per STAGE, not per run.
-        stage_secs = {r.name: round(r.seconds, 3) for r in pipe.results}
+
+        def run_pipeline() -> dict:
+            ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")  # fresh: no resume
+            try:
+                cpu0 = _executor_cpu_seconds(spark)
+                host0 = _host_cpu_jiffies()
+                t0 = time.monotonic()
+                pipe = build_quality_pipeline(CheckpointStore(spark, ckpt_dir))
+                out = pipe.run(pages)
+                n_docs = out.count()
+                pipeline_sec = time.monotonic() - t0
+                cpu1 = _executor_cpu_seconds(spark)
+                host1 = _host_cpu_jiffies()
+                r = {
+                    "pipeline_sec": pipeline_sec,
+                    "n_docs": n_docs,
+                    "pipeline_cpu": round(cpu1 - cpu0, 3)
+                    if cpu0 is not None and cpu1 is not None
+                    else None,
+                    "host_cpu": None,
+                    "storm": None,
+                    # stage-level breakdown (round-3 VERDICT #6): lazy stages
+                    # register ~0s — their work lands in the next materializing
+                    # stage's number, which is exactly the granularity the
+                    # checkpoints run at. Makes the next noise-vs-regression
+                    # call per STAGE, not per run.
+                    "stage_secs": {
+                        s.name: round(s.seconds, 3) for s in pipe.results
+                    },
+                }
+                if host0 is not None and host1 is not None:
+                    tick = os.sysconf("SC_CLK_TCK") or 100
+                    r["host_cpu"] = {
+                        k: round((host1[k] - host0[k]) / tick, 1) for k in host0
+                    }
+                    # same classifier as tools/bench_scaling._is_storm: the
+                    # box's bimodal kernel-storm mode shows >4 sys-cores over
+                    # the run window; such a run measures the storm, not the
+                    # engine (round-5 VERDICT #7 — BENCH_r05's own headline
+                    # was storm-classified but had no retry)
+                    r["storm"] = (
+                        r["host_cpu"]["system"] / pipeline_sec > STORM_SYS_CORES
+                    )
+                return r
+            finally:
+                shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+        res = run_pipeline()
+        storm_retried = False
+        if res["storm"] and os.environ.get("SPARK_GRAFT_STORM_RETRY", "1") == "1":
+            # one retry in the next quiet window: storms are time-clustered
+            # host-side pressure (BENCH.md r5) — wait for loadavg to drop,
+            # bounded so an unattended bench still terminates
+            deadline = time.monotonic() + float(
+                os.environ.get("SPARK_GRAFT_STORM_WAIT", "300")
+            )
+            while time.monotonic() < deadline and os.getloadavg()[0] > 3.0:
+                time.sleep(10)
+            storm_retried = True
+            retry = run_pipeline()
+            # keep the better-classified attempt (clean beats storm; two
+            # storms keep the faster one — both are upper bounds)
+            if not retry["storm"] or retry["pipeline_sec"] < res["pipeline_sec"]:
+                res = retry
+        timings["pipeline_e2e"] = round(res["pipeline_sec"], 3)
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -194,12 +237,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "pipeline_stages": stage_secs,
+                "pipeline_stages": res["stage_secs"],
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "pipeline_docs": n_docs,
-                "pipeline_docs_per_sec": docs_per_sec,
-                "pipeline_cpu_sec": pipeline_cpu,
-                "host_cpu_sec": host_cpu,
+                "pipeline_docs": res["n_docs"],
+                "pipeline_docs_per_sec": round(res["n_docs"] / res["pipeline_sec"], 1),
+                "pipeline_cpu_sec": res["pipeline_cpu"],
+                "host_cpu_sec": res["host_cpu"],
+                "storm": res["storm"],
+                "storm_retried": storm_retried,
                 "parallelism": CPUS,
             }
         )
