@@ -218,3 +218,121 @@ class Pipeline:
             if st.materialize:
                 prev_name = st.name
         return df
+
+    def report(
+        self,
+        group_cols: tuple[str, ...] = ("source_file", "lang_id"),
+        metric_cols: tuple[str, ...] = (
+            "perplexity",
+            "word_count",
+            "stopword_density",
+            "symbol_ratio",
+        ),
+        quantiles: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95),
+        write_json: bool = True,
+    ) -> dict[str, Any]:
+        """Consolidated end-of-run QC report — the engine's analog of the
+        reference's per-stage distribution plots and histogram blocks
+        (``exome_qc/exome_qc.py:186-194``, ``shared/samples_qc.py:348-359,
+        489-495``), emitted as ONE JSON artifact per pipeline run
+        (round-5 VERDICT #5).
+
+        Cost contract: NO new table scans. Per-stage rows/params come from
+        the checkpoint manifests; per-stage flag histograms from the tiny
+        ``__flag_counts`` accounting checkpoints already written by
+        :meth:`run`; keep-rates by group and metric quantiles from ONE
+        bounded ``cube`` aggregation over the terminal checkpoint
+        (``grouping_id`` disambiguates cube margins from genuinely-NULL
+        group values, e.g. the NULL ``lang_id`` of empty docs). Columns
+        named in ``group_cols``/``metric_cols`` that the terminal table
+        lacks are skipped, so the report composes with any stage list.
+
+        Returns the report dict; with ``write_json`` also persists it as
+        ``report.json`` in the store root, next to the stage dirs it
+        summarizes."""
+        term = next((s.name for s in reversed(self.stages) if s.materialize), None)
+        if term is None or not self.store.exists(term):
+            raise ValueError("no terminal checkpoint — run() the pipeline first")
+        last_run = {r.name: r for r in self.results}
+        stages: list[dict[str, Any]] = []
+        flag_counts: dict[str, dict[str, dict[str, int]]] = {}
+        for st in self.stages:
+            man = (self.store.manifest(st.name) or {}) if st.materialize else {}
+            res = last_run.get(st.name)
+            stages.append(
+                {
+                    "name": st.name,
+                    "materialized": st.materialize,
+                    "rows": man.get("rows"),
+                    "params": st.params,
+                    "resumed": res.resumed if res else None,
+                    "seconds": round(res.seconds, 3) if res else None,
+                }
+            )
+            acct_cols = (
+                (st.account_flags,)
+                if isinstance(st.account_flags, str)
+                else (st.account_flags or ())
+            )
+            for ac_i, ac in enumerate(acct_cols):
+                suffix = "" if ac_i == 0 else f"_{ac}"
+                cname = f"{st.name}__flag_counts{suffix}"
+                if self.store.exists(cname):
+                    flag_counts.setdefault(st.name, {})[ac] = {
+                        (r["flag"] if r["flag"] is not None else "__none__"): r["n"]
+                        for r in self.store.read(cname).collect()
+                    }
+        df = self.store.read(term)
+        gcols = [c for c in group_cols if c in df.columns]
+        mcols = [c for c in metric_cols if c in df.columns]
+        qs = list(quantiles)
+        aggs: list = [F.count(F.lit(1)).alias("n")]
+        if "keep" in df.columns:
+            aggs.append(F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"))
+        aggs += [
+            F.percentile_approx(F.col(c), qs, 10_000).alias(f"q_{c}") for c in mcols
+        ]
+        if gcols:
+            rows = df.cube(*gcols).agg(F.grouping_id().alias("gid"), *aggs).collect()
+            all_margins = (1 << len(gcols)) - 1
+        else:
+            rows = df.agg(F.lit(0).alias("gid"), *aggs).collect()
+            all_margins = 0
+        glob = next(r for r in rows if r["gid"] == all_margins)
+
+        def keep_block(r) -> dict[str, Any]:
+            b: dict[str, Any] = {"rows": r["n"]}
+            if "keep" in df.columns:
+                b["kept"] = r["n_keep"]
+                b["keep_rate"] = round(r["n_keep"] / r["n"], 4) if r["n"] else None
+            return b
+
+        by: dict[str, dict[str, dict[str, Any]]] = {}
+        for i, c in enumerate(gcols):
+            margin_gid = all_margins & ~(1 << (len(gcols) - 1 - i))
+            by[c] = {
+                (str(r[c]) if r[c] is not None else "__null__"): keep_block(r)
+                for r in rows
+                if r["gid"] == margin_gid
+            }
+        metrics = {
+            c: {f"p{int(q * 100):02d}": glob[f"q_{c}"][j] for j, q in enumerate(qs)}
+            if glob[f"q_{c}"] is not None
+            else None
+            for c in mcols
+        }
+        rep = {
+            "terminal_stage": term,
+            "stages": stages,
+            "flag_counts": flag_counts,
+            "totals": keep_block(glob),
+            "by": by,
+            "metrics": metrics,
+        }
+        if write_json and hasattr(self.store, "root"):
+            import json
+            import os
+
+            with open(os.path.join(self.store.root, "report.json"), "w") as fh:
+                json.dump(rep, fh, indent=2, sort_keys=True)
+        return rep

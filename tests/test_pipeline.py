@@ -345,3 +345,44 @@ def test_near_dup_algo_knob_reaches_s5(spark, pages):
         assert n_near > 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_run_report_artifact(pipeline_out):
+    """round-5 VERDICT #5: one consolidated QC-report artifact per run —
+    manifests + flag-count checkpoints + ONE bounded cube agg; golden-
+    pinned on the deterministic fixture corpus."""
+    import json
+    import os
+
+    pipe, out = pipeline_out["pipe"], pipeline_out["out"]
+    rep = pipe.report()
+    # totals agree with the terminal DataFrame (the golden facts)
+    n, k = out.count(), out.filter("keep").count()
+    assert rep["totals"] == {"rows": n, "kept": k, "keep_rate": round(k / n, 4)}
+    assert rep["terminal_stage"] == "s11_verdict"
+    # per-stage section covers every stage in order; terminal carries rows
+    assert [s["name"] for s in rep["stages"]] == [s.name for s in pipe.stages]
+    assert rep["stages"][-1]["rows"] == n
+    # keep-rate breakdown by language: every lang_id present incl. the
+    # genuinely-NULL group (empty docs), disambiguated from cube margins
+    langs = {
+        str(r["lang_id"]) if r["lang_id"] is not None else "__null__"
+        for r in out.select("lang_id").distinct().collect()
+    }
+    assert set(rep["by"]["lang_id"]) == langs
+    assert sum(b["rows"] for b in rep["by"]["lang_id"].values()) == n
+    # flag histograms come from the accounting checkpoints, not a rescan:
+    # verdict stage accounts BOTH arrays
+    v = rep["flag_counts"]["s11_verdict"]
+    assert set(v) == {"low_pass_failing_qc", "final_failing_qc"}
+    assert "word_count" in v["low_pass_failing_qc"]
+    assert "near_duplicate" in rep["flag_counts"]["s5_near_dedup"]["final_failing_qc"]
+    # metric quantiles are monotone and present for in-table metrics
+    for col in ("perplexity", "word_count", "stopword_density"):
+        q = rep["metrics"][col]
+        vals = [q[p] for p in ("p05", "p25", "p50", "p75", "p95")]
+        assert vals == sorted(vals) and vals[0] is not None
+    # artifact persisted next to the stage dirs and JSON-round-trips
+    path = os.path.join(pipe.store.root, "report.json")
+    with open(path) as fh:
+        assert json.load(fh)["totals"]["rows"] == n
