@@ -84,13 +84,35 @@ def with_perplexity(df: DataFrame, text_col: str = "text", out_col: str = "perpl
     return df.withColumn(out_col, perplexity_udf()(F.col(text_col)))
 
 
-def score_text_udf() -> Column:
+def score_text_udf(with_tokens: bool = False) -> Column:
     """Combined model-scoring kernel: ONE Arrow transport of ``text`` for
     both language-ID (NB trigram) and perplexity. At 50k docs the separate
-    UDFs cost two full text shipments (~10s); combined, one (~7s)."""
+    UDFs cost two full text shipments (~10s); combined, one (~7s).
+
+    ``with_tokens=True`` additionally emits ``n_tokens_bpe`` — the real
+    subword count from the deterministic embedded BPE (round-5 VERDICT
+    #6) — riding the SAME shipment, so token-budget mixing / sequence
+    packing get an honest weight column for free when asked."""
     from .langid import _model as _lid_model, _score_batch as _lid_score
 
-    @F.pandas_udf("lang_id string, lang_conf double, perplexity double")
+    schema = "lang_id string, lang_conf double, perplexity double"
+    if with_tokens:
+        from ..functions.bpe import _ranks, count_tokens_batch
+
+        @F.pandas_udf(schema + ", n_tokens_bpe long")
+        def _udf_tok(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            _lid_model()
+            _model()
+            _ranks()  # merge table once per executor process
+            for texts in it:
+                lid = _lid_score(texts)
+                lid["perplexity"] = _ppl_batch(texts)
+                lid["n_tokens_bpe"] = count_tokens_batch(texts)
+                yield lid
+
+        return _udf_tok
+
+    @F.pandas_udf(schema)
     def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         _lid_model()
         _model()
@@ -102,19 +124,18 @@ def score_text_udf() -> Column:
     return _udf
 
 
-def with_text_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
-    s = score_text_udf()(F.col(text_col))
-    return (
-        df.withColumn("__sc", s)
-        .withColumns(
-            {
-                "lang_id": F.col("__sc.lang_id"),
-                "lang_conf": F.col("__sc.lang_conf"),
-                "perplexity": F.col("__sc.perplexity"),
-            }
-        )
-        .drop("__sc")
-    )
+def with_text_scores(
+    df: DataFrame, text_col: str = "text", with_tokens: bool = False
+) -> DataFrame:
+    s = score_text_udf(with_tokens=with_tokens)(F.col(text_col))
+    cols = {
+        "lang_id": F.col("__sc.lang_id"),
+        "lang_conf": F.col("__sc.lang_conf"),
+        "perplexity": F.col("__sc.perplexity"),
+    }
+    if with_tokens:
+        cols["n_tokens_bpe"] = F.col("__sc.n_tokens_bpe")
+    return df.withColumn("__sc", s).withColumns(cols).drop("__sc")
 
 
 def flag_high_perplexity(

@@ -8,6 +8,9 @@ JVM expressions.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +45,27 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             "bpe_tokens": bpe_ish_token_count(t),
         }
     )
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_tokens_bpe"
+) -> DataFrame:
+    """REAL subword token count from the deterministic embedded BPE
+    (``functions.bpe`` — round-5 VERDICT #6): the honest weight column
+    for ``token_budget_sample`` / ``assign_packing_bins``, as opposed to
+    the regex estimates above. Iterator pandas UDF, merge table built
+    once per executor, word-type-memoized encode. Also reachable fused
+    into the single-text-shipment scorer via
+    ``with_text_scores(..., with_tokens=True)``."""
+    from ..functions.bpe import _ranks, count_tokens_batch
+
+    @F.pandas_udf("long")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        _ranks()
+        for texts in it:
+            yield count_tokens_batch(texts)
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

