@@ -36,7 +36,11 @@ class CheckpointStore:
         self.spark = spark
         self.root = root
         self.fmt = fmt or default_format()
-        os.makedirs(root, exist_ok=True)
+        # directory creation is a local-FS (parquet+manifest) concern; a
+        # catalog-backed format addresses tables, not paths — its "root"
+        # may be empty (stage name = table name under the catalog)
+        if hasattr(self.fmt, "data_files"):
+            os.makedirs(root, exist_ok=True)
 
     def path(self, stage: str) -> str:
         return os.path.join(self.root, stage)

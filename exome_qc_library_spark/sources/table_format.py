@@ -115,9 +115,41 @@ class IcebergFormat:
         return spark.read.format("iceberg").load(self._table(path))
 
     def update_manifest(self, path, manifest):
-        """Iceberg carries metadata as snapshot/table properties set at
-        write time; post-hoc enrichment is a no-op here (a real deployment
-        would ALTER TABLE SET TBLPROPERTIES)."""
+        """Post-write enrichment (e.g. row counts) lands as ALTER TABLE SET
+        TBLPROPERTIES — keeps the manifest round-trip contract the pipeline
+        runner relies on (``Pipeline.run`` reads ``rows`` back)."""
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        sets = ", ".join(
+            f"'engine.{k}' = '{self._quote(json.dumps(v, default=str))}'"
+            for k, v in manifest.items()
+            if k not in ("format", "table")
+        )
+        if sets:
+            spark.sql(f"ALTER TABLE {self._table(path)} SET TBLPROPERTIES ({sets})")
+
+    @staticmethod
+    def _quote(s: str) -> str:
+        return s.replace("'", "''")
+
+    def read_manifest(self, path: str) -> dict[str, Any] | None:
+        """Reconstruct the manifest from the ``engine.*`` table properties
+        written by :meth:`write`/:meth:`update_manifest`; None when the
+        table does not exist (same absent-⇔-no-commit contract as the
+        parquet sidecar)."""
+        spark = SparkSession.getActiveSession()
+        tbl = self._table(path)
+        if spark is None or not spark.catalog.tableExists(tbl):
+            return None
+        out: dict[str, Any] = {"format": "iceberg", "table": tbl}
+        for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect():
+            if r["key"].startswith("engine."):
+                try:
+                    out[r["key"][len("engine.") :]] = json.loads(r["value"])
+                except ValueError:
+                    out[r["key"][len("engine.") :]] = r["value"]
+        return out
 
     def exists(self, spark, path):
         return spark.catalog.tableExists(self._table(path))

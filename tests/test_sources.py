@@ -2,6 +2,7 @@
 checkpoint store manifest/resume semantics (S6/S11)."""
 
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -191,3 +192,58 @@ def test_compact_on_iceberg_backend_raises_clearly(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_iceberg_backend_contract(spark):
+    """round-5 VERDICT #8: the Iceberg backend is dead code in this
+    sandbox (no iceberg-spark-runtime jar) — this contract test runs
+    whenever the jar IS present and pytest.skips otherwise, so the
+    backend cannot rot silently.
+
+    Activation (real deployment):
+      spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-<sparkver>:<ver> \
+        --conf spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog \
+        --conf spark.sql.catalog.<name>.type=hadoop \
+        --conf spark.sql.catalog.<name>.warehouse=<path>
+    then CheckpointStore(spark, "", fmt=IcebergFormat("<name>")).
+
+    Pinned semantics: write→exists→read round-trip, createOrReplace
+    overwrite, manifest round-trip through engine.* table properties
+    (incl. the post-write rows enrichment Pipeline.run relies on), and
+    compact() delegating to the catalog procedure via
+    NotImplementedError."""
+    import pytest
+
+    from exome_qc_library_spark.sources.table_format import IcebergFormat
+
+    wh = tempfile.mkdtemp(prefix="ice_wh_")
+    spark.conf.set("spark.sql.catalog.ice_contract", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.ice_contract.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ice_contract.warehouse", wh)
+    try:
+        spark.catalog.tableExists("ice_contract.default.__probe__")
+    except Exception as e:  # noqa: BLE001 — any failure to LOAD the catalog = no jar
+        shutil.rmtree(wh, ignore_errors=True)
+        pytest.skip(f"Iceberg runtime not on classpath: {type(e).__name__}")
+    try:
+        fmt = IcebergFormat("ice_contract")
+        store = CheckpointStore(spark, "", fmt=fmt)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        out = store.write(df, "st_contract", params={"p": 1})
+        assert store.exists("st_contract")
+        assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "b")]
+        man = store.manifest("st_contract")
+        assert man is not None and man["params"] == {"p": 1} and man["rows"] == 2
+        # createOrReplace overwrite semantics
+        store.write(spark.createDataFrame([(9, "z")], "id long, v string"), "st_contract")
+        assert store.read("st_contract").count() == 1
+        # plain-parquet maintenance must refuse and point at the catalog procedure
+        try:
+            store.compact("st_contract")
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+        assert not store.exists("st_never_written")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ice_contract.default.st_contract")
+        shutil.rmtree(wh, ignore_errors=True)
