@@ -558,12 +558,66 @@ def flag_near_duplicates(
 # --------------------------------------------------------------- SimHash
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+def _simhash_votes_batch(col: pd.Series) -> pd.Series:
+    """Numpy SimHash bit-vote kernel over per-row shingle-hash arrays:
+    bit j of the sketch is set iff more than half the row's (distinct)
+    shingle hashes have bit j set — EXACTLY :func:`~..functions.hashing.
+    simhash64`'s vote>0 rule, so the two kernels are bit-identical
+    (pinned in tests). One flattened pass: 64 ``np.add.reduceat`` sweeps
+    over the batch's concatenated hashes, no per-row Python."""
+    n = len(col)
+    out = np.zeros(n, dtype=np.uint64)
+    valid = np.fromiter((v is not None for v in col), dtype=bool, count=n)
+    rows = [np.asarray(col.iloc[i], dtype=np.int64) for i in range(n) if valid[i]]
+    if rows:
+        lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=len(rows))
+        starts = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.concatenate(rows).view(np.uint64)
+        sk = np.zeros(len(rows), dtype=np.uint64)
+        lens_u = lens.astype(np.uint64)
+        for j in range(64):
+            bitsum = np.add.reduceat((flat >> np.uint64(j)) & np.uint64(1), starts)
+            sk |= (2 * bitsum > lens_u).astype(np.uint64) << np.uint64(j)
+        out[valid] = sk
+    res = pd.Series(out.view(np.int64), index=col.index, dtype="Int64")
+    res[~valid] = pd.NA
+    return res
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    kernel: str = "np",
+) -> DataFrame:
     """NULL/blank text → NULL sketch (not the all-zero-vote 0 sketch, which
     would co-block every empty doc into one degenerate quarter block);
-    ``simhash_pairs`` drops NULL sketches before blocking."""
+    ``simhash_pairs`` drops NULL sketches before blocking.
+
+    ``kernel="np"`` (default, round-6): shingle hashes stay JVM-side
+    (``xxhash64`` over the distinct word shingles), then ONE Arrow
+    shipment of the int64 arrays feeds the flattened numpy bit-vote
+    kernel — the same treatment the MinHash signature kernel got in r5.
+    ``kernel="expr"`` is the pure-expression twin (interpreted HOF:
+    O(shingles·64) per row — measured 8× slower at 500k docs, kept for
+    plan-portability and as the equality pin)."""
     has_text = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    return df.withColumn(out_col, F.when(has_text, simhash64(F.col(text_col))))
+    if kernel == "expr":
+        return df.withColumn(out_col, F.when(has_text, simhash64(F.col(text_col))))
+    if kernel != "np":
+        raise ValueError(f"unknown simhash kernel {kernel!r}: np|expr")
+
+    @F.pandas_udf("long")
+    def _votes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            yield _simhash_votes_batch(col)
+
+    hs = F.when(
+        has_text,
+        F.transform(word_shingles(F.col(text_col), 2), lambda s: F.xxhash64(s)),
+    )
+    return df.withColumn(out_col, _votes(hs))
 
 
 def simhash_pairs(

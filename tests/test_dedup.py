@@ -540,3 +540,24 @@ def test_near_dup_simhash_documented_recall_trade(spark):
     }
     assert mh_flagged == {"b"}
     assert sh_flagged == set()
+
+
+def test_simhash_np_kernel_equals_expression(spark):
+    """The vectorized (Arrow/numpy bit-vote) SimHash sketch must be
+    BIT-IDENTICAL to the pure-expression simhash64 — same distinct
+    shingles, same vote>0 rule, incl. NULL/blank rows, short docs
+    (single whole-text shingle), unicode, and the sign bit (bit 63)."""
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog " * 8),
+        ("b", "one two"),
+        ("c", "single"),
+        ("d", None),
+        ("e", "   "),
+        ("f", "naïve café über emoji 🎉 mixed UNICODE text répété " * 3),
+    ] + [(f"r{i}", f"w{i} " + " ".join(f"t{(i * 7 + k) % 97}" for k in range(60))) for i in range(50)]
+    df = spark.createDataFrame(texts, "url string, text string")
+    ex = {r["url"]: r["s"] for r in with_simhash(df, out_col="s", kernel="expr").collect()}
+    np_ = {r["url"]: r["s"] for r in with_simhash(df, out_col="s", kernel="np").collect()}
+    assert ex == np_
+    assert ex["d"] is None and ex["e"] is None
+    assert any(v < 0 for v in ex.values() if v is not None)  # bit 63 exercised
