@@ -1134,6 +1134,29 @@ FROM documents
 """
 
 
+def _session_scratch(spark: SparkSession, name: str) -> str:
+    """Stable per-session scratch dir under /tmp: overwritten within a
+    session (no per-sweep leak), scoped by applicationId so concurrent
+    sweeps on one host never clobber each other mid-read (round-5
+    ADVICE), and registered for atexit removal so the per-session copy
+    does not accumulate across sessions either (round-6 review)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"eqls_scratch_{spark.sparkContext.applicationId}",
+    )
+    if root not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, name)
+
+
+_SCRATCH_ROOTS: set[str] = set()
+
+
 def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 external-interchange export (plink-export analog): round-trip the
     documents table through gzipped JSON-lines shards and return what an
@@ -1142,23 +1165,13 @@ def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     (including multi-line / non-ASCII text) byte-exactly through the
     text-format hand-off. Read-back uses an explicit schema: inference on
     an export is a trap (an all-null column would vanish)."""
-    import os
-    import tempfile
-
     from .sources.sinks import export_jsonl
 
     docs = _t(spark, sf_dir, "documents")
     # STABLE scratch path, overwritten per invocation — a fresh mkdtemp
-    # per oracle sweep would leak a full table copy into /tmp every run.
-    # Scoped by applicationId so two concurrent sweeps on the same host
-    # (parallel CI, the co-tenant bench box) never clobber each other's
-    # scratch mid-read (round-5 ADVICE); within a session the path is
-    # stable and overwritten.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"q_jsonl_export_scratch_{spark.sparkContext.applicationId}",
-        "docs",
-    )
+    # per oracle sweep would leak a full table copy into /tmp every run;
+    # session-scoped + atexit-cleaned via _session_scratch.
+    path = _session_scratch(spark, "jsonl_export/docs")
     export_jsonl(
         docs,
         path,
@@ -1185,24 +1198,13 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle proves the rewrite preserves every value; the companion pytest
     pins the mechanics (file counts, manifest enrichment, partitioned
     layout, crash-window invariant)."""
-    import os
-    import tempfile
-
     from .sources.checkpoint import CheckpointStore
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # stable, overwritten scratch root (no per-sweep /tmp leak), scoped
-    # by applicationId so concurrent sweeps on one host don't clobber
-    # each other mid-read (round-5 ADVICE)
-    store = CheckpointStore(
-        spark,
-        os.path.join(
-            tempfile.gettempdir(),
-            f"q_compact_scratch_{spark.sparkContext.applicationId}",
-        ),
-    )
+    # stable, overwritten, session-scoped + atexit-cleaned scratch root
+    store = CheckpointStore(spark, _session_scratch(spark, "compact_store"))
     store.vacuum()  # clear any crash leftovers from a previous sweep
     store.write(docs.repartition(16), "docs", count_rows=False)
     rec = store.compact("docs", target_file_bytes=1 << 30)

@@ -122,15 +122,29 @@ def _encode_word_len(word: str) -> int:
     greedy lowest-rank merging, memoized per word TYPE per process."""
     ranks = _ranks()
     syms = list(word) + [_EOW]
+    # merge EVERY occurrence of the chosen pair per pass (classic BPE
+    # encode, O(L·merges)); one-occurrence-per-pass rescanning is O(L²)
+    # on pathological repetitive pretokens. Output-identical: a pair
+    # created by merging (a,b) always ranks after (a,b) in the trained
+    # table, so no later occurrence could have preferred a new pair.
     while len(syms) > 1:
-        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(syms, syms[1:]))]
-        best = min((r, i) for r, i in pairs if r is not None) if any(
-            r is not None for r, _ in pairs
-        ) else None
-        if best is None:
+        best_rank, best_pair = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
             break
-        _, i = best
-        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        a, b = best_pair
+        merged, out, i, n = a + b, [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
     return len(syms)
 
 

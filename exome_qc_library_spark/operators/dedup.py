@@ -571,14 +571,25 @@ def _simhash_votes_batch(col: pd.Series) -> pd.Series:
     rows = [np.asarray(col.iloc[i], dtype=np.int64) for i in range(n) if valid[i]]
     if rows:
         lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=len(rows))
-        starts = np.zeros(len(rows), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        flat = np.concatenate(rows).view(np.uint64)
         sk = np.zeros(len(rows), dtype=np.uint64)
-        lens_u = lens.astype(np.uint64)
-        for j in range(64):
-            bitsum = np.add.reduceat((flat >> np.uint64(j)) & np.uint64(1), starts)
-            sk |= (2 * bitsum > lens_u).astype(np.uint64) << np.uint64(j)
+        # empty hash arrays stay sketch 0 (the no-shingle vote outcome, same
+        # as simhash64 on array()); reduceat with their start indices would
+        # crash on a trailing empty row and silently borrow the next row's
+        # first element otherwise (equal-indices rule)
+        ne = lens > 0
+        if ne.any():
+            starts = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            flat = np.concatenate(rows).view(np.uint64)
+            starts_ne = starts[ne]
+            lens_u = lens[ne].astype(np.uint64)
+            sk_ne = np.zeros(int(ne.sum()), dtype=np.uint64)
+            for j in range(64):
+                bitsum = np.add.reduceat(
+                    (flat >> np.uint64(j)) & np.uint64(1), starts_ne
+                )
+                sk_ne |= (2 * bitsum > lens_u).astype(np.uint64) << np.uint64(j)
+            sk[ne] = sk_ne
         out[valid] = sk
     res = pd.Series(out.view(np.int64), index=col.index, dtype="Int64")
     res[~valid] = pd.NA

@@ -11,6 +11,7 @@ and accounting, so stage code stays declarative for Catalyst.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -274,14 +275,23 @@ class Pipeline:
                 if isinstance(st.account_flags, str)
                 else (st.account_flags or ())
             )
-            for ac_i, ac in enumerate(acct_cols):
-                suffix = "" if ac_i == 0 else f"_{ac}"
-                cname = f"{st.name}__flag_counts{suffix}"
-                if self.store.exists(cname):
-                    flag_counts.setdefault(st.name, {})[ac] = {
-                        (r["flag"] if r["flag"] is not None else "__none__"): r["n"]
-                        for r in self.store.read(cname).collect()
-                    }
+            # run() suffixes checkpoint names from the declared tuple FILTERED
+            # to columns present in the stage output, so the name alone can't
+            # say which column a checkpoint counts — trust the manifest's
+            # recorded "column" param instead (falling back to the name-derived
+            # guess for pre-param stores).
+            candidates = {f"{st.name}__flag_counts": acct_cols[0] if acct_cols else None}
+            for ac in acct_cols:
+                candidates[f"{st.name}__flag_counts_{ac}"] = ac
+            for cname, name_guess in sorted(candidates.items()):
+                if name_guess is None or not self.store.exists(cname):
+                    continue
+                cman = self.store.manifest(cname) or {}
+                col = (cman.get("params") or {}).get("column") or name_guess
+                flag_counts.setdefault(st.name, {})[col] = {
+                    (r["flag"] if r["flag"] is not None else "__none__"): r["n"]
+                    for r in self.store.read(cname).collect()
+                }
         df = self.store.read(term)
         gcols = [c for c in group_cols if c in df.columns]
         mcols = [c for c in metric_cols if c in df.columns]
@@ -329,9 +339,14 @@ class Pipeline:
             "by": by,
             "metrics": metrics,
         }
-        if write_json and hasattr(self.store, "root"):
+        # only dir-backed stores have a local root to write next to; a
+        # catalog-backed store's root may be empty or never created
+        if (
+            write_json
+            and hasattr(self.store.fmt, "data_files")
+            and os.path.isdir(getattr(self.store, "root", ""))
+        ):
             import json
-            import os
 
             with open(os.path.join(self.store.root, "report.json"), "w") as fh:
                 json.dump(rep, fh, indent=2, sort_keys=True)

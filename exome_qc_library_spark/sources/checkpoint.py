@@ -202,6 +202,10 @@ class CheckpointStore:
         assume single-writer stage dirs (``overwrite=True``
         checkpoints)."""
         removed: dict[str, list[str]] = {"torn": [], "scratch": [], "restored": []}
+        # catalog-backed formats address tables, not dirs — there is nothing
+        # on the local FS to reclaim (and self.root may not exist at all)
+        if not hasattr(self.fmt, "data_files") or not os.path.isdir(self.root):
+            return removed
         names = sorted(os.listdir(self.root))
         for name in names:
             p = os.path.join(self.root, name)

@@ -100,11 +100,20 @@ class IcebergFormat:
 
     def __init__(self, catalog: str = "local") -> None:
         self.catalog = catalog
+        # the manifest methods' interface carries no session, but PySpark's
+        # active session is thread-scoped — remember the session every
+        # session-carrying call hands us so manifest reads/updates issued
+        # from another driver thread still reach the right catalog
+        self._spark: SparkSession | None = None
+
+    def _session(self) -> SparkSession | None:
+        return self._spark or SparkSession.getActiveSession()
 
     def _table(self, path: str) -> str:
         return path if "." in path else f"{self.catalog}.default.{path}"
 
     def write(self, df, path, metadata=None, partition_by=None):
+        self._spark = df.sparkSession
         writer = df.writeTo(self._table(path)).using("iceberg")
         for k, v in (metadata or {}).items():
             writer = writer.tableProperty(f"engine.{k}", json.dumps(v, default=str))
@@ -112,13 +121,14 @@ class IcebergFormat:
         return dict(metadata or {}, format="iceberg", table=self._table(path))
 
     def read(self, spark, path):
+        self._spark = spark
         return spark.read.format("iceberg").load(self._table(path))
 
     def update_manifest(self, path, manifest):
         """Post-write enrichment (e.g. row counts) lands as ALTER TABLE SET
         TBLPROPERTIES — keeps the manifest round-trip contract the pipeline
         runner relies on (``Pipeline.run`` reads ``rows`` back)."""
-        spark = SparkSession.getActiveSession()
+        spark = self._session()
         if spark is None:
             return
         sets = ", ".join(
@@ -138,7 +148,7 @@ class IcebergFormat:
         written by :meth:`write`/:meth:`update_manifest`; None when the
         table does not exist (same absent-⇔-no-commit contract as the
         parquet sidecar)."""
-        spark = SparkSession.getActiveSession()
+        spark = self._session()
         tbl = self._table(path)
         if spark is None or not spark.catalog.tableExists(tbl):
             return None
@@ -152,6 +162,7 @@ class IcebergFormat:
         return out
 
     def exists(self, spark, path):
+        self._spark = spark
         return spark.catalog.tableExists(self._table(path))
 
 

@@ -561,3 +561,22 @@ def test_simhash_np_kernel_equals_expression(spark):
     assert ex == np_
     assert ex["d"] is None and ex["e"] is None
     assert any(v < 0 for v in ex.values() if v is not None)  # bit 63 exercised
+
+
+def test_simhash_votes_batch_empty_rows():
+    """Round-6 review: an empty shingle-hash array must yield the
+    all-zero-vote sketch (0 — same as simhash64 over array()), not crash
+    np.add.reduceat on a trailing empty row, and a mid-batch empty row
+    must not silently borrow the next row's first element (reduceat's
+    equal-indices rule)."""
+    import pandas as pd
+
+    from exome_qc_library_spark.operators.dedup import _simhash_votes_batch
+
+    col = pd.Series([[-1], [], [3, 5, 3], None, []])
+    out = _simhash_votes_batch(col)
+    assert out.iloc[1] == 0 and out.iloc[4] == 0  # trailing empty incl.
+    assert pd.isna(out.iloc[3])  # NULL stays NULL
+    # neighbors of empties are unperturbed: match single-row references
+    assert out.iloc[0] == _simhash_votes_batch(pd.Series([[-1]])).iloc[0]
+    assert out.iloc[2] == _simhash_votes_batch(pd.Series([[3, 5, 3]])).iloc[0]

@@ -386,3 +386,36 @@ def test_run_report_artifact(pipeline_out):
     path = os.path.join(pipe.store.root, "report.json")
     with open(path) as fh:
         assert json.load(fh)["totals"]["rows"] == n
+
+
+def test_report_flag_counts_attribution_with_absent_declared_column(spark, pages):
+    """Round-6 review: run() suffixes flag-count checkpoint names from the
+    declared account_flags tuple FILTERED to columns present in the stage
+    output, so when a declared column is absent the unsuffixed checkpoint
+    holds the OTHER column's histogram. report() must attribute counts by
+    the manifest's recorded "column" param, never by tuple position."""
+    from exome_qc_library_spark.functions.flags import add_flags
+    from exome_qc_library_spark.plans.pipeline import Pipeline, Stage
+
+    def _stage(df):
+        # declares ("ghost", "fl") but only emits "fl"
+        return add_flags(
+            df.select("url", "text"),
+            "fl",
+            {"short": F.length("text") < 40},
+        )
+
+    root = tempfile.mkdtemp(prefix="ckpt_attr_")
+    try:
+        store = CheckpointStore(spark, root)
+        pipe = Pipeline(
+            [Stage("obs", _stage, account_flags=("ghost", "fl"))], store
+        )
+        out = pipe.run(pages)
+        rep = pipe.report(write_json=False)
+        fc = rep["flag_counts"]["obs"]
+        assert set(fc) == {"fl"}  # never misattributed to "ghost"
+        n_short = out.filter(F.array_contains("fl", "short")).count()
+        assert fc["fl"]["short"] == n_short
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
