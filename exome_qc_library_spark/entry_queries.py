@@ -1020,10 +1020,9 @@ def q_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     so an unguarded multiply diverges between engines at doc_id ≥ ~3.5e9).
     """
     docs = _t(spark, sf_dir, "documents")
+    mixed = F.shiftright(F.col("doc_id"), 31).bitwiseXOR(F.col("doc_id"))
     gate = F.pmod(
-        F.shiftright(
-            F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), 16
-        ),
+        F.shiftright(mixed.bitwiseAND(F.lit(2147483647)) * F.lit(2654435761), 16),
         F.lit(100),
     )
     return docs.filter(gate < 20).select("doc_id")
@@ -1031,7 +1030,7 @@ def q_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_SAMPLE_SQL = """
 SELECT doc_id FROM documents
-WHERE (((doc_id & 2147483647) * 2654435761) >> 16) % 100 < 20
+WHERE (((xor(doc_id >> 31, doc_id) & 2147483647) * 2654435761) >> 16) % 100 < 20
 """
 
 
@@ -1334,12 +1333,14 @@ _Q_ITER_OUTLIERS_SQL = """
 WITH s1 AS (SELECT avg(n_chars) AS mu1, stddev_samp(n_chars) AS sd1 FROM documents),
 r1 AS (
   SELECT doc_id, n_chars,
-         coalesce(sd1 IS NOT NULL AND sd1 <> 0 AND abs(n_chars - mu1) > 2.0 * sd1, false) AS out1
+         coalesce(sd1 IS NOT NULL AND sd1 > 1e-9 * greatest(abs(mu1), 1.0)
+                  AND abs(n_chars - mu1) > 2.0 * sd1, false) AS out1
   FROM documents, s1
 ),
 s2 AS (SELECT avg(n_chars) AS mu2, stddev_samp(n_chars) AS sd2 FROM r1 WHERE NOT out1)
 SELECT doc_id,
-       (out1 OR coalesce(sd2 IS NOT NULL AND sd2 <> 0 AND abs(n_chars - mu2) > 2.0 * sd2, false))
+       (out1 OR coalesce(sd2 IS NOT NULL AND sd2 > 1e-9 * greatest(abs(mu2), 1.0)
+                         AND abs(n_chars - mu2) > 2.0 * sd2, false))
          AS is_outlier
 FROM r1, s2
 """
@@ -1564,8 +1565,24 @@ sh AS (
               ELSE [] END) AS sh
   FROM w
 ),
+lens AS (
+  SELECT DISTINCT len(ws) AS L FROM w
+  WHERE doc_id % 97 = 0 AND len(ws) > 0 AND len(ws) < 3
+),
+shl AS (
+  SELECT w.doc_id,
+         list_distinct(CASE WHEN len(ws) >= L
+              THEN list_transform(range(1, len(ws) - L + 2), i -> array_to_string(list_slice(ws, i, i + L - 1), ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END) AS sh
+  FROM w CROSS JOIN lens
+),
 bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
-dg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+dg AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh
+  UNION
+  SELECT doc_id, unnest(sh) AS g FROM shl
+),
 hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bench USING (g))
 SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)

@@ -44,9 +44,19 @@ def array_sum_expr(a: Column) -> Column:
     return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double"))
 
 
+def _elementwise_agg(col: Column, dim: int, agg) -> Column:
+    return F.array(*[agg(F.element_at(col, i + 1)).alias(f"c{i}") for i in range(dim)])
+
+
 def elementwise_agg_sum(col: Column, dim: int) -> Column:
     """``hl.agg.array_sum`` analog: elementwise sum of array columns across
     rows — expressed as an array of per-index sums so it stays a single
-    grouped aggregation (used for centroid computation in IVF-style ANN).
-    """
-    return F.array(*[F.sum(F.element_at(col, i + 1)).alias(f"c{i}") for i in range(dim)])
+    grouped aggregation."""
+    return _elementwise_agg(col, dim, F.sum)
+
+
+def elementwise_agg_mean(col: Column, dim: int) -> Column:
+    """Elementwise mean of array columns across rows (single grouped
+    aggregation) — the centroid-update kernel for IVF-style ANN
+    (:func:`~..operators.similarity.train_centroids_lite`)."""
+    return _elementwise_agg(col, dim, F.avg)

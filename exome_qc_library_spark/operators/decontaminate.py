@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.flags import add_flags
 from ..functions.hashing import word_shingles
+from ..functions.textmetrics import words_expr
 
 
 def benchmark_ngrams(
@@ -94,9 +95,33 @@ def flag_contaminated(
     bench = benchmark_ngrams(benchmark, bench_text_col, n, hashed, lowercase=lowercase)
     if broadcast_bench:
         bench = F.broadcast(bench)
+    # benchmark items SHORTER than n words contribute one whole-text gram
+    # of length < n (word_shingles' short-doc rule) — a gram the doc side's
+    # n-shingling never emits, so a 6-word eval question quoted verbatim
+    # inside a 1000-word doc would silently never match (round-6 review).
+    # Emit doc-side L-grams for exactly the short lengths the benchmark
+    # actually contains: the length set is a tiny driver-side probe of the
+    # (broadcast-small by contract) benchmark, and the common no-short-item
+    # case costs nothing extra.
+    bench_words = words_expr(
+        F.lower(F.col(bench_text_col)) if lowercase else F.col(bench_text_col)
+    )
+    short_lens = sorted(
+        r["L"]
+        for r in benchmark.filter(F.col(bench_text_col).isNotNull())
+        .select(F.size(bench_words).alias("L"))
+        .filter((F.col("L") > 0) & (F.col("L") < n))
+        .distinct()
+        .collect()
+    )
+    doc_gram_expr = word_shingles(F.col(text_col), n, lowercase=lowercase)
+    for L in short_lens:
+        doc_gram_expr = F.array_union(
+            doc_gram_expr, word_shingles(F.col(text_col), L, lowercase=lowercase)
+        )
     doc_grams = docs.select(
         F.col(key_col).alias("__k"),
-        F.explode(word_shingles(F.col(text_col), n, lowercase=lowercase)).alias("__gram"),
+        F.explode(doc_gram_expr).alias("__gram"),
     )
     if hashed:
         doc_grams = doc_grams.select("__k", F.xxhash64("__gram").alias("__gram"))

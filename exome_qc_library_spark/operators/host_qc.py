@@ -168,8 +168,17 @@ def flag_host_outliers(
     bad = bad_hosts.withColumn("__host_outlier", F.lit(True))
     if broadcast_outliers:
         bad = F.broadcast(bad)
-    out = df.withColumn("host", host_expr(F.col(url_col))).join(bad, bad_keys, "left")
+    # join back on an INTERNAL derived-host column (round-6 review): the
+    # outlier keys use host_expr normalization, so a caller-supplied
+    # `host` column (possibly normalized differently) must be neither
+    # consulted nor clobbered, and the stage output schema must not
+    # silently gain a derived column (same restore rule as the s2c
+    # host-cap stage)
+    join_keys = ["__qc_host"] + ([batch_col] if batch_col else [])
+    out = df.withColumn("__qc_host", host_expr(F.col(url_col))).join(
+        bad.withColumnRenamed("host", "__qc_host"), join_keys, "left"
+    )
     out = add_flags(
         out, flag_col, {"host_outlier": F.coalesce(F.col("__host_outlier"), F.lit(False))}
     )
-    return out.drop("__host_outlier")
+    return out.drop("__host_outlier", "__qc_host")

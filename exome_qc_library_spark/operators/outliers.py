@@ -58,7 +58,11 @@ def flag_iterative_outliers(
         cond = F.lit(False)
         for m in measures:
             mu, sd = stats[f"mu_{m}"], stats[f"sd_{m}"]
-            if mu is None or sd is None or sd == 0.0:
+            # noise-floor guard, not just sd == 0: a near-constant measure
+            # has σ at float-rounding scale, and ANY ulp-level difference
+            # from the mean would mass-flag (same eps rule as
+            # host_qc.host_outlier_stats' degenerate-σ guard)
+            if mu is None or sd is None or sd <= 1e-9 * max(abs(mu), 1.0):
                 continue
             cond = cond | (F.abs(F.col(m) - F.lit(mu)) > F.lit(k_sigma * sd))
         live = live & ~F.coalesce(cond, F.lit(False))

@@ -37,10 +37,29 @@ _BPS = 10_000  # basis points: fractions quantized to 0.01% so the gate
 # compares integers — no float-threshold drift between engines
 
 
+def _mix(key: Column) -> Column:
+    """Fold the high 33 bits into the low 31 before the Knuth mix. The
+    31-bit mask below is deliberate overflow protection (Spark wraps the
+    int64 product silently where DuckDB raises, so an unguarded multiply
+    diverges between engines) — but a bare mask discards all key entropy
+    above bit 30, aliasing ids that differ only in high bits (e.g.
+    ``monotonically_increasing_id``'s partition field at bits 33+, which
+    would collapse every partition's row #j onto one gate value). XOR-
+    folding keeps the product overflow-free AND every key bit live."""
+    return F.shiftright(key, 31).bitwiseXOR(key)
+
+
+def _mix_sql(key_expr: str) -> str:
+    """DuckDB-verbatim mirror of :func:`_mix` (``xor`` is a function in
+    DuckDB; ``^`` is exponentiation there)."""
+    return f"xor({key_expr} >> 31, {key_expr})"
+
+
 def hash_gate(key: Column) -> Column:
     """Uniform pseudo-random bucket in [0, 10000) from an integer key."""
     return F.pmod(
-        F.shiftright(key.bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16), F.lit(_BPS)
+        F.shiftright(_mix(key).bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16),
+        F.lit(_BPS),
     )
 
 
@@ -66,7 +85,7 @@ def stratified_sample(
 
 def stratified_sample_sql_gate(key_expr: str = "doc_id") -> str:
     """The DuckDB-verbatim mirror of :func:`hash_gate` (oracle helper)."""
-    return f"((({key_expr} & {_MASK31}) * {_KNUTH}) >> 16) % {_BPS}"
+    return f"((({_mix_sql(key_expr)} & {_MASK31}) * {_KNUTH}) >> 16) % {_BPS}"
 
 
 def sample_to_token_budget(
@@ -144,7 +163,9 @@ def _with_shuffle_cumsum(
             raise ValueError(f"input already carries reserved column {c!r}")
     part = [F.col(strata_col)] if strata_col else []
     keys = ([strata_col] if strata_col else []) + ["__b"]
-    h = F.shiftright(F.col(key_col).bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
+    h = F.shiftright(
+        _mix(F.col(key_col)).bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16
+    )
     w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     base = df.withColumn("__h", h).withColumn("__b", F.pmod(F.col("__h"), F.lit(buckets)))
     stats = base.groupBy(*keys).agg(F.sum(w).alias("__bw"))
@@ -206,7 +227,7 @@ def assign_packing_bins(
 def token_budget_sql_order(key_expr: str = "doc_id", buckets: int = 256) -> str:
     """DuckDB-verbatim mirror of the operator's total order (oracle
     helper): ``h % buckets, h, key`` with the same full-resolution hash."""
-    h = f"((({key_expr} & {_MASK31}) * {_KNUTH}) >> 16)"
+    h = f"((({_mix_sql(key_expr)} & {_MASK31}) * {_KNUTH}) >> 16)"
     return f"{h} % {buckets}, {h}, {key_expr}"
 
 

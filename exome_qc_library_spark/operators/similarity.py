@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.arrays import cosine_expr, dot_expr
+from ..functions.arrays import cosine_expr, dot_expr, elementwise_agg_mean
 
 
 def cosine_topk_brute(
@@ -85,7 +85,18 @@ def cosine_topk_brute_np(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    # NULL / zero-norm query embeddings → cosine NULL against every
+    # neighbor (cosine_expr semantics); keep a validity mask instead of
+    # crashing on list(None) (round-6 review)
+    q_vecs = [r[vec_col] for r in q_rows]
+    q_valid = np.array(
+        [v is not None and float(np.linalg.norm(np.asarray(list(v)))) > 0.0 for v in q_vecs],
+        dtype=bool,
+    )
+    dim = next((len(list(v)) for v in q_vecs if v is not None), 1)
+    Q = np.array(
+        [list(v) if v is not None else [0.0] * dim for v in q_vecs], dtype=np.float64
+    )
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,28 +104,62 @@ def cosine_topk_brute_np(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            C = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-            S = Cn @ Qn.T  # (batch × queries) cosine matrix
+            vecs = list(pdf[vec_col])
+            c_valid = np.array([v is not None for v in vecs], dtype=bool)
+            if c_valid.any():
+                C = np.array(
+                    [list(vecs[i]) for i in np.flatnonzero(c_valid)], dtype=np.float64
+                )
+                norms = np.linalg.norm(C, axis=1, keepdims=True)
+                c_valid[np.flatnonzero(c_valid)[norms[:, 0] == 0.0]] = False
+                Cn = C[norms[:, 0] > 0.0] / norms[norms[:, 0] > 0.0]
+                vids = ids[c_valid]
+                S = Cn @ Qn.T  # (valid batch rows × queries) cosine matrix
+            else:
+                vids = np.empty(0, dtype=np.int64)
+                S = np.empty((0, len(qids)))
+            # invalid rows (NULL embedding or zero norm) carry cosine NULL
+            # in the expression path — NULLS LAST under desc, tie-broken by
+            # id asc — so emit the k smallest-id invalid rows as NULL
+            # candidates and let the final window merge them behind every
+            # scored row, matching cosine_expr exactly
+            nulls_ids = np.sort(ids[~c_valid])
             out_q: list[int] = []
             out_n: list[int] = []
-            out_c: list[float] = []
-            for j in range(S.shape[1]):
-                col = S[:, j]
-                order = np.lexsort((ids, -col))  # cosine desc, id asc
+            out_c: list[float | None] = []
+            for j in range(len(qids)):
+                if q_valid[j]:
+                    col = S[:, j]
+                    order = np.lexsort((vids, -col))  # cosine desc, id asc
+                    taken = 0
+                    for i in order:
+                        if vids[i] == qids[j]:
+                            continue
+                        out_q.append(int(qids[j]))
+                        out_n.append(int(vids[i]))
+                        out_c.append(float(col[i]))
+                        taken += 1
+                        if taken >= k:
+                            break
+                    null_pool = nulls_ids
+                else:
+                    # invalid query: EVERY neighbor scores NULL
+                    null_pool = np.sort(ids)
                 taken = 0
-                for i in order:
-                    if ids[i] == qids[j]:
+                for nid in null_pool:
+                    if nid == qids[j]:
                         continue
                     out_q.append(int(qids[j]))
-                    out_n.append(int(ids[i]))
-                    out_c.append(float(col[i]))
+                    out_n.append(int(nid))
+                    out_c.append(None)
                     taken += 1
                     if taken >= k:
                         break
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
-            )
+            out = pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+            # nullable Float64 → Arrow nulls (plain float64 would turn None
+            # into NaN, which sorts FIRST under desc in Spark — wrong side)
+            out["cosine"] = pd.array(out_c, dtype="Float64")
+            yield out
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
         batches, schema="query_id long, neighbor_id long, cosine double"
@@ -258,13 +303,8 @@ def train_centroids_lite(
     )
     for _ in range(iters):
         assigned = ivf_assign(df.select(vec_col), cents, vec_col=vec_col)
-        cents = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                F.array(
-                    *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)]
-                ).alias("centroid")
-            )
+        cents = assigned.groupBy("centroid_id").agg(
+            elementwise_agg_mean(F.col(vec_col), dim).alias("centroid")
         )
         cents = spark.createDataFrame(cents.collect(), schema=cents.schema)  # small: materialize
     return cents
@@ -372,7 +412,7 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     max_bucket: int = 200,
     return_truncation: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Random-hyperplane LSH: sign-pattern bucket key (one int), exact
     cosine verification within buckets. Shuffle key = bucket, not pairs.
 
@@ -401,8 +441,19 @@ def embedding_near_dup_pairs(
     ``limit(1)`` probe fallback exists for ad-hoc use only — it is one
     tiny Spark job fired at plan-build time (VERDICT.md round-1 nit #5).
     """
+    if not 1 <= n_planes <= 63:
+        # the sign pattern packs one bit per plane into a single signed
+        # 64-bit bucket key (2**j literals); bit 63 would overflow LongType
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     if dim is None:
-        dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        # probe the first NON-NULL embedding: size(NULL) is NULL and a
+        # None dim crashes the plane construction (round-6 review)
+        dim_probe = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .limit(1)
+            .collect()
+        )
         dim = dim_probe[0]["d"] if dim_probe else 0
     import random
 

@@ -122,7 +122,7 @@ def test_decontaminate_no_cartesian(spark):
 
 
 def _gate(key: int) -> int:
-    return (((key & _MASK31) * _KNUTH) >> 16) % _BPS
+    return (((((key >> 31) ^ key) & _MASK31) * _KNUTH) >> 16) % _BPS
 
 
 def test_stratified_sample_exact_and_deterministic(spark):
@@ -217,7 +217,8 @@ def test_token_budget_matches_naive_window(spark):
         df, budgets, strata_col="lang", weight_col="n", buckets=16,
         default_budget=40,
     )
-    h = F.shiftright(F.col("doc_id").bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
+    mixed = F.shiftright(F.col("doc_id"), 31).bitwiseXOR(F.col("doc_id"))
+    h = F.shiftright(mixed.bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
     naive = (
         df.withColumn("__h", h)
         .withColumn("__b", F.pmod(F.col("__h"), F.lit(16)))
@@ -299,7 +300,8 @@ def test_packing_bins_match_naive_window_and_properties(spark):
     # naive: one global window in the same order
     from exome_qc_library_spark.operators.sampling import _KNUTH, _MASK31
 
-    h = F.shiftright(F.col("doc_id").bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
+    mixed = F.shiftright(F.col("doc_id"), 31).bitwiseXOR(F.col("doc_id"))
+    h = F.shiftright(mixed.bitwiseAND(F.lit(_MASK31)) * F.lit(_KNUTH), 16)
     w = F.coalesce(F.col("n").cast("long"), F.lit(0))
     naive = (
         df.select("doc_id", "n")
@@ -339,3 +341,49 @@ def test_packing_bins_match_naive_window_and_properties(spark):
         buckets=16,
     )
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+def test_hash_gate_uses_high_key_bits():
+    """Round-6 review: a bare 31-bit mask aliased keys differing only in
+    high bits (monotonically_increasing_id's partition field lives at
+    bits 33+), collapsing every partition's row #j onto one gate value.
+    The XOR fold must keep high-bit entropy live while the multiply stays
+    overflow-free (mixed & MASK31 <= 2^31-1)."""
+    # same low 33 bits, different partition field -> gates must spread
+    gates = {_gate((p << 33) | 7) for p in range(256)}
+    assert len(gates) > 100  # pre-fix this set had exactly 1 element
+    # and the mixed operand stays within the overflow-safe envelope
+    for p in (0, 1, 2**20, 2**30):
+        k = (p << 33) | 7
+        assert 0 <= (((k >> 31) ^ k) & _MASK31) <= _MASK31
+
+
+def test_decontaminate_short_benchmark_item_matches_inside_long_doc(spark):
+    """Round-6 review: a benchmark item shorter than n words yields one
+    whole-text gram the doc side's n-shingling never emits, so a short
+    eval question quoted verbatim inside a longer doc silently escaped.
+    The doc side must emit L-grams for exactly the short lengths present
+    in the benchmark, in both the string and hashed join forms."""
+    bench = spark.createDataFrame(
+        [("b1", "forty two exactly")],  # 3 words < n=5
+        "bid string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the secret answer is forty two exactly as everyone knows"),
+            ("d2", "a clean document with no overlap whatsoever in it"),
+            ("d3", "forty two exactly"),  # verbatim short doc
+            ("d4", "forty two"),  # shorter than the bench item: no match
+            ("d5", None),
+        ],
+        "url string, text string",
+    )
+    want = {"d1": True, "d2": False, "d3": True, "d4": False, "d5": False}
+    for hashed in (True, False):
+        got = {
+            r["url"]: "contaminated" in r["ff"]
+            for r in flag_contaminated(
+                docs, bench, n=5, hashed=hashed, flag_col="ff"
+            ).collect()
+        }
+        assert got == want, hashed

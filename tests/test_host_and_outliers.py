@@ -54,16 +54,34 @@ def test_host_metrics_sd_matches_stddev_samp(spark):
 
 
 def test_flag_host_outliers(spark):
-    out = flag_host_outliers(_docs(spark), k_sigma=2.0)
+    from exome_qc_library_spark.functions.urltools import host_expr
+
+    docs = _docs(spark)
+    out = flag_host_outliers(docs, k_sigma=2.0)
     flagged_hosts = {
         r["host"]
         for r in out.filter(F.array_contains("final_failing_qc", "host_outlier"))
-        .select("host")
+        .select(host_expr(F.col("url")).alias("host"))
         .distinct()
         .collect()
     }
     assert flagged_hosts == {"weird.com"}
     assert out.count() == 46  # annotate-don't-drop
+    # round-6 review: schema preserved — no derived host column leaks out
+    assert set(out.columns) == set(docs.columns) | {"final_failing_qc"}
+    # and a caller-supplied host column is untouched (not clobbered by the
+    # internally-derived normalization)
+    tagged = docs.withColumn("host", F.lit("caller-owned"))
+    out2 = flag_host_outliers(tagged, k_sigma=2.0)
+    assert out2.filter(F.col("host") != "caller-owned").count() == 0
+    f2 = {
+        r["host"]
+        for r in out2.filter(F.array_contains("final_failing_qc", "host_outlier"))
+        .select(host_expr(F.col("url")).alias("host"))
+        .distinct()
+        .collect()
+    }
+    assert f2 == {"weird.com"}  # flags keyed on derived host, not the column
 
 
 def test_flag_host_outliers_no_single_partition_window(spark):
@@ -99,11 +117,13 @@ def test_flag_host_outliers_batch_stratified(spark):
         "url string, crawl_batch string, word_count long, "
         "symbol_ratio double, stopword_density double",
     )
+    from exome_qc_library_spark.functions.urltools import host_expr
+
     out = flag_host_outliers(df, batch_col="crawl_batch", k_sigma=2.0)
     flagged = {
         r["host"]
         for r in out.filter(F.array_contains("final_failing_qc", "host_outlier"))
-        .select("host")
+        .select(host_expr(F.col("url")).alias("host"))
         .distinct()
         .collect()
     }
@@ -113,7 +133,7 @@ def test_flag_host_outliers_batch_stratified(spark):
     g_flagged = {
         r["host"]
         for r in g.filter(F.array_contains("final_failing_qc", "host_outlier"))
-        .select("host")
+        .select(host_expr(F.col("url")).alias("host"))
         .distinct()
         .collect()
     }
@@ -142,11 +162,13 @@ def test_flag_host_outliers_within_stratum_only(spark):
         "url string, crawl_batch string, word_count long, "
         "symbol_ratio double, stopword_density double",
     )
+    from exome_qc_library_spark.functions.urltools import host_expr
+
     out = flag_host_outliers(df, batch_col="crawl_batch", k_sigma=2.0)
     flagged = {
         (r["host"], r["crawl_batch"])
         for r in out.filter(F.array_contains("final_failing_qc", "host_outlier"))
-        .select("host", "crawl_batch")
+        .select(host_expr(F.col("url")).alias("host"), "crawl_batch")
         .distinct()
         .collect()
     }
@@ -207,3 +229,18 @@ def test_flag_host_outliers_broadcast_gate(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_iterative_outliers_near_constant_measure_not_mass_flagged(spark):
+    """Round-6 review: a measure constant up to float rounding has σ at
+    noise scale (not exactly 0), and the bare sd == 0 guard let the k·σ
+    test flag ulp-level differences as metric outliers. The noise-floor
+    guard (σ > 1e-9·max(|μ|,1), same rule as host_qc) must suppress it."""
+    from exome_qc_library_spark.operators.outliers import flag_iterative_outliers
+
+    rows = [(i, 100.0 + (1e-12 if i < 5 else 0.0)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, m double")
+    out = flag_iterative_outliers(
+        df, measures=("m",), k_sigma=2.0, flag_col="ff", tag="t"
+    )
+    assert out.filter(F.array_contains("ff", "t")).count() == 0

@@ -286,3 +286,50 @@ def test_kmeans_ivf_recall(spark):
     r4 = ann_recall_at_k(emb, q, ce, k=10, n_probe=4)
     r8 = ann_recall_at_k(emb, q, ce, k=10, n_probe=8)
     assert r1 <= r4 <= r8 == 1.0
+
+
+def test_numpy_brute_matches_expression_with_null_and_zero_vectors(spark):
+    """Round-6 review: the BLAS path crashed on NULL embeddings and gave
+    zero-norm vectors cosine 0.0 where cosine_expr gives NULL. Both paths
+    must agree row-for-row with NULL embeddings, zero-norm vectors (both
+    sides), and k larger than the valid-neighbor count (NULL fill-in)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [-1.0, 0.0, 0.0, 0.0]),   # opposite the query: cosine -1
+        (2, [0.0, 0.0, 0.0, 0.0]),    # zero norm -> NULL cosine
+        (3, None),                     # NULL embedding -> NULL cosine
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id IN (0, 2, 3)")  # incl. zero-norm + NULL queries
+    a = {
+        (r["query_id"], r["rank"]): (
+            r["neighbor_id"],
+            None if r["cosine"] is None else round(r["cosine"], 9),
+        )
+        for r in cosine_topk_brute(df, q, k=4).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (
+            r["neighbor_id"],
+            None if r["cosine"] is None else round(r["cosine"], 9),
+        )
+        for r in cosine_topk_brute_np(df, q, k=4).collect()
+    }
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0], (key, a[key], b[key])
+        av, bv = a[key][1], b[key][1]
+        assert (av is None) == (bv is None)
+        if av is not None:
+            assert abs(av - bv) < 1e-9
+    # the adversarial case from the review: for query 0 the zero-norm row
+    # must NOT be promoted by a spurious 0.0 — valid neighbors (orthogonal
+    # 0.0, then opposite -1.0) rank first, NULL-cosine rows (2, 3) fill
+    # the tail by id
+    assert [a[(0, r)] for r in (1, 2, 3, 4)] == [
+        (4, 0.0),
+        (1, -1.0),
+        (2, None),
+        (3, None),
+    ]
