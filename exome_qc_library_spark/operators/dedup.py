@@ -59,7 +59,10 @@ def flag_exact_duplicates(
     One shuffle on the 256-bit content hash (uniform — no skew), map-side
     partial aggregation via min(struct). The winner choice mirrors the
     reference's independent-set preference rules (case-preferring,
-    ``shared/samples_qc.py:691-713``) — here earliest-crawl-wins.
+    ``shared/samples_qc.py:691-713``) — here earliest-crawl-wins. A NULL
+    ``order_col`` sorts LAST (the is-null flag leads the struct): struct
+    ordering would otherwise put NULL first and a timestamp-less copy
+    would beat every genuinely-dated crawl (round-6 review).
     """
     h = exact_content_hash(F.col(text_col))
     with_h = df.withColumn("__chash", h)
@@ -67,7 +70,13 @@ def flag_exact_duplicates(
         with_h.filter(F.col(text_col).isNotNull())
         .groupBy("__chash")
         .agg(
-            F.min(F.struct(F.col(order_col), F.col(key_col))).alias("w"),
+            F.min(
+                F.struct(
+                    F.col(order_col).isNull().alias("o_missing"),
+                    F.col(order_col),
+                    F.col(key_col),
+                )
+            ).alias("w"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -234,6 +243,41 @@ def _minhash_sig_arrow_fn(num_perm: int, seed: int = 42):
     return fn
 
 
+def capped_bucket_pairs(
+    grouped: DataFrame, ks_col: str = "ks", dedup: bool = True
+) -> DataFrame:
+    """Expand each capped bucket's sorted member array into ordered pairs
+    ``(a, b)`` with ``a < b`` — the shared self-pair kernel behind every
+    bucketed pair generator here (MinHash bands, SimHash quarters,
+    hyperplane sign buckets). Previously copy-pasted at each site, so the
+    round-2 sort-before-slice determinism fix had to be applied three
+    times by hand (round-6 review). The caller owns the cap contract
+    (``slice(array_sort(collect_list(k)), 1, max_bucket)``); this helper
+    only expands. ``dedup=False`` skips the cross-bucket dropDuplicates
+    for generators whose rows live in exactly one bucket."""
+    cand = (
+        grouped.filter(F.size(ks_col) > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col(ks_col),
+                            lambda x: F.transform(
+                                F.col(ks_col),
+                                lambda y: F.struct(x.alias("x"), y.alias("y")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["x"] < p["y"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+    )
+    return cand.dropDuplicates(["a", "b"]) if dedup else cand
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     key_col: str = "url",
@@ -258,6 +302,11 @@ def minhash_candidate_pairs(
     keeps the default: xxhash64 mixes better and the numpy kernel is ~100×
     the interpreted HOF path on long docs.
     """
+    if num_perm % bands != 0:
+        # banding covers bands·rows_per_band slots; a remainder would mean
+        # computed-but-never-banded permutations silently degrading recall
+        # while jaccard_est still divides by num_perm (round-6 review)
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows_per_band = num_perm // bands
     # ONE materialization barrier: the sketch table is reused three times
     # (banding + the two signature join-backs); WITHOUT the barrier
@@ -315,26 +364,7 @@ def minhash_candidate_pairs(
     grouped = banded.groupBy("band", "bucket").agg(
         F.slice(F.array_sort(F.collect_list("k")), 1, max_bucket).alias("ks")
     )
-    cand = (
-        grouped.filter(F.size("ks") > 1)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ks"),
-                            lambda a: F.transform(
-                                F.col("ks"), lambda b: F.struct(a.alias("x"), b.alias("y"))
-                            ),
-                        )
-                    ),
-                    lambda p: p["x"] < p["y"],
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    cand = capped_bucket_pairs(grouped)
     siga = sk.select(F.col("k").alias("a"), F.col("sig").alias("siga"))
     sigb = sk.select(F.col("k").alias("b"), F.col("sig").alias("sigb"))
     pairs = (
@@ -485,6 +515,15 @@ def flag_near_duplicates(
     lies within one component — the reference's nx-independent-set sanity
     assertion, ``shared/samples_qc.py:656-664``; pinned in tests).
     """
+    for reserved in ("dup_cluster_id", "__rep"):
+        if reserved in df.columns:
+            # e.g. re-running on an already-annotated table: the cluster
+            # join would produce an AMBIGUOUS_REFERENCE failure deep in
+            # the plan — fail fast with the actual cause instead
+            raise ValueError(
+                f"input already carries reserved column {reserved!r}; "
+                "drop or rename it before re-running near-dup flagging"
+            )
     if algo == "minhash":
         pairs = minhash_candidate_pairs(
             df, key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands
@@ -540,14 +579,18 @@ def flag_near_duplicates(
     # table (a window with NULL cluster for 99% of rows funnels the whole
     # table into one straggler partition)
     pref = prefer if prefer is not None else [F.col(order_col)]
+    # NULL preference values sort LAST (is-null flag precedes each pref
+    # column in the struct): bare struct ordering would put NULL first,
+    # letting e.g. a timestamp-less copy beat every dated crawl
+    pref_fields = [
+        c
+        for i, p in enumerate(pref)
+        for c in (p.isNull().alias(f"pn{i}"), p.alias(f"p{i}"))
+    ]
     reps = (
         out.filter(F.col("dup_cluster_id").isNotNull())
         .groupBy("dup_cluster_id")
-        .agg(
-            F.min(
-                F.struct(*[p.alias(f"p{i}") for i, p in enumerate(pref)], F.col(key_col))
-            ).alias("w")
-        )
+        .agg(F.min(F.struct(*pref_fields, F.col(key_col))).alias("w"))
         .select("dup_cluster_id", F.col("w")[key_col].alias("__rep"))
     )
     out = out.join(maybe_bcast(reps), "dup_cluster_id", "left")
@@ -653,6 +696,15 @@ def simhash_pairs(
     (rare) candidate pairs for full-distance verification — the 8-byte
     simhash never rides the exploded quarter shuffle.
     """
+    if not 0 <= max_hamming <= 3:
+        # the recall guarantee is the pigeonhole over four 16-bit quarters:
+        # ≤3 differing bits cannot touch all 4 quarters. At max_hamming=4
+        # a pair with one flipped bit per quarter would silently never be
+        # generated as a candidate — fail loudly instead (round-6 review)
+        raise ValueError(
+            f"max_hamming must be in [0, 3] for 16-bit quarter blocking, "
+            f"got {max_hamming}"
+        )
     sk = df.filter(F.col(sim_col).isNotNull()).select(
         F.col(key_col).alias("k"), F.col(sim_col).alias("s")
     )
@@ -671,26 +723,7 @@ def simhash_pairs(
     grouped = blocked.groupBy("q", "v").agg(
         F.slice(F.array_sort(F.collect_list("k")), 1, max_block).alias("ks")
     )
-    cand = (
-        grouped.filter(F.size("ks") > 1)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ks"),
-                            lambda x: F.transform(
-                                F.col("ks"), lambda y: F.struct(x.alias("x"), y.alias("y"))
-                            ),
-                        )
-                    ),
-                    lambda p: p["x"] < p["y"],
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    cand = capped_bucket_pairs(grouped)
     siga = sk.select(F.col("k").alias("a"), F.col("s").alias("sa"))
     sigb = sk.select(F.col("k").alias("b"), F.col("s").alias("sb"))
     return (

@@ -104,8 +104,13 @@ def png_dims_from_hex(hx: Column) -> Column:
     """
     is_png = F.substring(hx, 1, 16) == "89504E470D0A1A0A"
     is_ihdr = F.substring(hx, 25, 8) == "49484452"
+    # length guard (round-6 review): a payload truncated inside the IHDR
+    # width/height fields would otherwise conv() a hex PREFIX — a wrong
+    # dimension, violating the NULL-never-wrong invariant the other
+    # parsers enforce (24 bytes = 48 hex chars covers through height)
+    has_fields = F.length(hx) >= 48
     return F.when(
-        is_png & is_ihdr,
+        is_png & is_ihdr & has_fields,
         F.struct(
             F.conv(F.substring(hx, 33, 8), 16, 10).cast("long").alias("width"),
             F.conv(F.substring(hx, 41, 8), 16, 10).cast("long").alias("height"),
@@ -647,7 +652,9 @@ def frame_sample_plan(df: DataFrame, bin_col: str, every_n: int = 30) -> DataFra
     """Frame-sampling plumbing: emits (frame_index) rows per media payload
     via posexplode of a planned index array; the decode itself is the
     stubbed kernel above. Demonstrates the explode-shaped schema a video
-    pipeline needs without the codec."""
+    pipeline needs without the codec. NULL payloads keep their row with a
+    NULL frame_index (explode_outer — annotate-don't-drop, round-6
+    review) so callers joining the plan back never lose docs."""
     n_frames = (F.length(F.col(bin_col)) / F.lit(1000)).cast("int")  # fake duration proxy
     idx = F.sequence(F.lit(0), F.greatest(n_frames, F.lit(0)), F.lit(every_n))
-    return df.withColumn("frame_index", F.explode(idx))
+    return df.withColumn("frame_index", F.explode_outer(idx))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.arrays import cosine_expr, dot_expr, elementwise_agg_mean
+from .dedup import capped_bucket_pairs
 
 
 def cosine_topk_brute(
@@ -475,25 +476,8 @@ def embedding_near_dup_pairs(
         F.count(F.lit(1)).alias("n_members"),
         F.slice(F.array_sort(F.collect_list("k")), 1, max_bucket).alias("ks"),
     )
-    cand = (
-        grouped.filter(F.size("ks") > 1)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ks"),
-                            lambda x: F.transform(
-                                F.col("ks"), lambda y: F.struct(x.alias("x"), y.alias("y"))
-                            ),
-                        )
-                    ),
-                    lambda p: p["x"] < p["y"],
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
-    )
+    # each row lives in exactly ONE sign bucket → no cross-bucket dup to drop
+    cand = capped_bucket_pairs(grouped, dedup=False)
     va = bucketed.select(F.col("k").alias("a"), F.col("v").alias("va"))
     vb = bucketed.select(F.col("k").alias("b"), F.col("v").alias("vb"))
     pairs = (

@@ -219,6 +219,10 @@ def streaming_near_dup_matches(
     from ..functions.hashing import lsh_band_keys, shingle_hashes, word_shingles
     from ..operators.dedup import _minhash_sig_udf
 
+    if num_perm % bands != 0:
+        # same guard as minhash_candidate_pairs: a remainder would leave
+        # computed-but-never-banded signature slots (silent recall loss)
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows_per_band = num_perm // bands
     base = pages.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
     sk = base.select(
@@ -317,11 +321,25 @@ def streaming_near_dup_matches(
     )
 
 
-def run_stream_to_memory(spark: SparkSession, src_path: str, name: str = "stream_out") -> DataFrame:
-    """Drive a bounded file stream to completion synchronously (test/demo)."""
+def run_stream_to_memory(
+    spark: SparkSession,
+    src_path: str,
+    name: str = "stream_out",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a bounded file stream to completion synchronously (test/demo).
+
+    Default ``output_mode="complete"``: on a BOUNDED run, append mode
+    would permanently withhold every window within the watermark horizon
+    of the max event time (the watermark never advances past
+    max_event_time − delay, so those windows stay in state and the
+    returned counts silently miss the newest hours of data — round-6
+    review). Complete mode emits all windows, finalized or not; the
+    append+watermark behavior remains available via
+    ``output_mode="append"`` for demonstrating late-data finalization."""
     q = (
         windowed_flag_counts(streaming_quality_flags(stream_pages(spark, src_path)))
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

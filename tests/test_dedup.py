@@ -580,3 +580,67 @@ def test_simhash_votes_batch_empty_rows():
     # neighbors of empties are unperturbed: match single-row references
     assert out.iloc[0] == _simhash_votes_batch(pd.Series([[-1]])).iloc[0]
     assert out.iloc[2] == _simhash_votes_batch(pd.Series([[3, 5, 3]])).iloc[0]
+
+
+def test_exact_dedup_null_order_col_never_wins(spark):
+    """Round-6 review: struct ordering sorts NULL first, so a
+    timestamp-less copy used to beat every genuinely-dated crawl in the
+    min(struct) winner election. Non-NULL order values must win."""
+    import datetime
+
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 1, 2)
+    rows = [
+        ("u1", "same body text here", None),
+        ("u2", "same body text here", t2),
+        ("u3", "same body text here", t1),  # true earliest crawl
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, warc_ts timestamp")
+    out = flag_exact_duplicates(df, flag_col="ff")
+    dup = {r["url"]: "exact_duplicate" in r["ff"] for r in out.collect()}
+    assert dup == {"u1": True, "u2": True, "u3": False}
+
+
+def test_near_dup_null_prefer_value_never_wins(spark):
+    """Same NULLS-LAST rule for the cluster-representative election."""
+    import datetime
+
+    body = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        ("u1", body, None),
+        ("u2", body + "extra tail words", datetime.datetime(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, warc_ts timestamp")
+    out = flag_near_duplicates(df, threshold=0.3, flag_col="ff")
+    dup = {r["url"]: "near_duplicate" in r["ff"] for r in out.collect()}
+    assert dup == {"u1": True, "u2": False}  # dated copy is the rep
+
+
+def test_near_dup_reserved_column_guard(spark):
+    """Round-6 review: re-running on an already-annotated table must fail
+    fast with a clear error, not AMBIGUOUS_REFERENCE mid-plan."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("u1", "text", "c0")], "url string, text string, dup_cluster_id string"
+    )
+    with pytest.raises(ValueError, match="dup_cluster_id"):
+        flag_near_duplicates(df)
+
+
+def test_pair_generator_parameter_guards(spark):
+    """num_perm must divide into bands; max_hamming > 3 breaks the
+    quarter-blocking recall guarantee — both must raise."""
+    import pytest
+
+    from exome_qc_library_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame([("u1", "some text")], "url string, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_candidate_pairs(df, num_perm=64, bands=10)
+    sk = spark.createDataFrame([("u1", 7)], "url string, simhash long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(sk, max_hamming=4)

@@ -7,17 +7,34 @@ import tempfile
 
 
 def test_stream_pipeline_counts(spark, pages):
-    from exome_qc_library_spark.streaming.stream import run_stream_to_memory
+    import pyspark.sql.functions as F
+
+    from exome_qc_library_spark.streaming.stream import (
+        run_stream_to_memory,
+        streaming_quality_flags,
+    )
 
     src = tempfile.mkdtemp(prefix="stream_src_")
     try:
-        pages.limit(100).repartition(4).write.mode("overwrite").parquet(src)
+        fixture = pages.limit(100)
+        fixture.repartition(4).write.mode("overwrite").parquet(src)
         out = run_stream_to_memory(spark, src, name="t_stream")
         rows = out.collect()
         assert len(rows) > 0
         flags = {r["flag"] for r in rows}
         assert None in flags or len(flags) > 1  # pass rows and/or fail reasons
         assert all(r["n"] > 0 for r in rows)
+        # round-6 review: complete-mode totals cover EVERY window — append
+        # mode on a bounded run withheld all windows within the watermark
+        # horizon of the max event time, silently under-counting the
+        # newest hours. Pin stream total ≡ batch total.
+        batch_total = (
+            streaming_quality_flags(fixture)
+            .filter(F.col("warc_ts").isNotNull())
+            .select(F.explode_outer("low_pass_failing_qc"))
+            .count()
+        )
+        assert sum(r["n"] for r in rows) == batch_total
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
