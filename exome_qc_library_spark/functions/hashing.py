@@ -100,17 +100,33 @@ def lsh_band_keys(
     (8-byte shuffle key — the scale path); ``as_csv=True`` keeps the raw
     comma-joined slice as the key, which DuckDB reproduces verbatim (the
     oracle path — slightly wider keys, identical pair semantics).
+
+    Bands whose slice runs past the signature end are DROPPED per row
+    (round-6 review): an out-of-range slice yields an empty join key
+    shared by every document, which would silently co-bucket the whole
+    corpus in that band — an O(n²) cross product at scale. Misconfigured
+    direct callers now just lose the uncovered bands' recall;
+    ``minhash_candidate_pairs``/the streaming variant reject such configs
+    outright.
     """
 
     def bucket(b: int) -> Column:
         joined = F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band))
         return joined if as_csv else F.xxhash64(joined)
 
-    return F.array(
+    keys = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+            F.struct(
+                F.lit(b).alias("band"),
+                bucket(b).alias("bucket"),
+                F.lit((b + 1) * rows_per_band).alias("__end"),
+            )
             for b in range(bands)
         ]
+    )
+    covered = F.filter(keys, lambda k: k["__end"] <= F.size(signature))
+    return F.transform(
+        covered, lambda k: F.struct(k["band"].alias("band"), k["bucket"].alias("bucket"))
     )
 
 

@@ -41,8 +41,14 @@ PII_RULES: tuple[ScrubRule, ...] = (
     ),
     ScrubRule("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ScrubRule(
+        # every digit-run entry point carries a leading anchor (literal '+'
+        # or \b) — without one the pattern matched a SUFFIX of longer digit
+        # runs (e.g. a 13-digit record id), scrubbing non-phone identifiers
+        # and leaving stray lead digits (round-6 review). \b (not
+        # lookbehind) because the DuckDB oracle mirror runs RE2. The paren
+        # branch needs no anchor: '(' itself terminates any digit run.
         "phone",
-        r"(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}\b",
+        r"(?:(?:\+|\b)\d{1,2}[ .-]?)?(?:\(\d{3}\)[ .-]?|\b\d{3}[ .-])\d{3}[ .-]\d{4}\b",
         "<PHONE>",
     ),
     ScrubRule("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),

@@ -102,7 +102,7 @@ def build_quality_pipeline(
     4 materializations instead of 8. ``checkpoint_all=True`` restores the
     reference's checkpoint-after-every-step behavior (finest-grained resume).
     """
-    mat = True if checkpoint_all else False
+    mat = checkpoint_all
 
     def _ingest(df: DataFrame) -> DataFrame:
         out = ingest_pages(df)
@@ -242,13 +242,22 @@ def build_quality_pipeline(
         # purpose, mirroring how apply_scrub rewrites keeper text at s11.
         # Runs AFTER both dedup stages so duplicates are detected on the
         # raw bytes the crawler saw.
+        from ..functions.textmetrics import METRIC_NAMES, with_text_metrics
         from ..operators.dedup import strip_boilerplate_lines
 
         def _strip(df: DataFrame) -> DataFrame:
             out = strip_boilerplate_lines(
                 df, min_docs=strip_boilerplate_min_docs
             )
-            return out.withColumn("text", F.col("text_clean")).drop("text_clean")
+            out = out.withColumn("text", F.col("text_clean")).drop("text_clean")
+            # the metric columns materialized at s3 describe the PRE-strip
+            # text; recompute them on the stripped content or s9's final
+            # threshold flags (and the s6/s10/s8 outlier stages) would
+            # score chrome that no longer exists (round-6 review)
+            stale = [c for c in METRIC_NAMES if c in out.columns]
+            if stale:
+                out = with_text_metrics(out.drop(*stale))
+            return out
 
         stages.append(
             Stage(

@@ -48,7 +48,10 @@ def import_delimited(
     elif impute:
         reader = reader.option("inferSchema", True)
     df = reader.csv(path)
-    if not header:
+    if not header and not schema:
+        # headerless + no explicit schema → Spark's _c0.._cN; rename to the
+        # reference's f0..fN convention. An explicit schema already names
+        # the columns — renaming would clobber it (round-6 review)
         df = df.toDF(*[f"f{i}" for i in range(len(df.columns))])
     return df
 
@@ -64,9 +67,18 @@ def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFram
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Scan of the pages table (url, warc_ts, html, text, lang) — parquet or
-    Iceberg-by-name when a catalog is configured."""
-    if os.path.isdir(path) or path.endswith(".parquet"):
+    """Scan of the pages table (url, warc_ts, html, text, lang) — parquet
+    path or catalog table name.
+
+    Anything path-shaped (contains a separator or a URI scheme, or exists
+    locally) is read as parquet; only bare identifiers go to the catalog.
+    ``os.path.isdir`` alone would misroute every REMOTE dataset URI
+    (``s3a://…/pages``) into ``spark.read.table`` (round-6 review)."""
+    looks_like_path = (
+        "/" in path or "\\" in path or "://" in path
+        or path.endswith(".parquet") or os.path.isdir(path)
+    )
+    if looks_like_path:
         return spark.read.parquet(path)
     return spark.read.table(path)
 

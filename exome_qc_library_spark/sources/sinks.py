@@ -19,18 +19,39 @@ from pyspark.sql import types as T
 
 def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
     """Recursively flatten struct columns to top-level ``parent_child`` cols
-    (arrays/maps left intact — they need explode, not flattening)."""
+    (arrays/maps left intact — they need explode, not flattening).
+
+    Raises on a flattened-name collision (e.g. struct ``a.b_c`` next to
+    struct ``a_b.c``, or a pre-existing top-level ``a_b_c``): a silent
+    duplicate column would only surface at the terminal CSV write as an
+    ambiguous-reference error, after the whole pipeline ran (round-6
+    review)."""
     while True:
         struct_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
         if not struct_cols:
             return df
         cols = []
+        names: dict[str, str] = {}
         for f in df.schema.fields:
             if isinstance(f.dataType, T.StructType):
                 for sub in f.dataType.fields:
-                    cols.append(F.col(f"{f.name}.{sub.name}").alias(f"{f.name}{sep}{sub.name}"))
+                    flat = f"{f.name}{sep}{sub.name}"
+                    cols.append(F.col(f"{f.name}.{sub.name}").alias(flat))
+                    src = f"{f.name}.{sub.name}"
+                    if flat in names:
+                        raise ValueError(
+                            f"flatten_structs: {src!r} and {names[flat]!r} both "
+                            f"flatten to {flat!r}; rename one or use a different sep"
+                        )
+                    names[flat] = src
             else:
                 cols.append(F.col(f.name))
+                if f.name in names:
+                    raise ValueError(
+                        f"flatten_structs: {names[f.name]!r} flattens onto "
+                        f"existing column {f.name!r}; rename one or use a different sep"
+                    )
+                names[f.name] = f.name
         df = df.select(*cols)
 
 
@@ -86,18 +107,33 @@ def export_jsonl(
     columns absent from ``df`` are skipped), one shard per partition so
     the write stays fully parallel. Unlike :func:`write_final_table` this
     is a row-subset, fixed-schema, text-format hand-off, not a snapshot.
+
+    ``partition_by`` partitions the directory layout via SHADOW columns
+    (``__part_<c>=value`` dirs): Spark removes partition columns from the
+    data files, which would (a) crash when the key is outside the
+    projected contract and (b) silently drop it from every record when it
+    is inside — but an interchange record must be self-contained (raw-file
+    consumers have no directory context). Shadowing keeps every contract
+    column in every record while directory pruning still works
+    (round-6 review).
     """
     cols = [c for c in (columns or JSONL_EXPORT_COLUMNS) if c in df.columns]
     if not cols:
         raise ValueError("export_jsonl: none of the requested columns exist")
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"export_jsonl: partition columns {missing} not in the input")
     out = df
     if keep_col is not None and keep_col in df.columns:
         out = out.filter(F.col(keep_col))
-    writer = out.select(*cols).write.mode("overwrite")
+    shadows = {f"__part_{c}": F.col(c) for c in partition_by}
+    writer = (
+        out.withColumns(shadows).select(*cols, *shadows).write.mode("overwrite")
+    )
     if compress:
         writer = writer.option("compression", "gzip")
-    if partition_by:
-        writer = writer.partitionBy(*[c for c in partition_by if c in df.columns])
+    if shadows:
+        writer = writer.partitionBy(*shadows)
     writer.json(path)
     return path
 
@@ -137,8 +173,6 @@ def write_final_table(
     survived).
     """
     if sample_fractions is not None or token_budgets is not None:
-        from pyspark.sql import types as T
-
         from ..operators.sampling import sample_to_token_budget, stratified_sample
 
         key_type = df.schema[sample_key_col].dataType

@@ -644,3 +644,23 @@ def test_pair_generator_parameter_guards(spark):
     sk = spark.createDataFrame([("u1", 7)], "url string, simhash long")
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs(sk, max_hamming=4)
+
+
+def test_lsh_band_keys_drops_underfilled_bands(spark):
+    """Round-6 review: a band slicing past the signature end produced an
+    empty join key shared by EVERY doc (one corpus-wide bucket → O(n²)
+    candidates). Underfilled bands must be dropped, covered bands kept."""
+    from exome_qc_library_spark.functions.hashing import lsh_band_keys
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30, 40]), (2, [50, 60, 70, 80])], "k long, sig array<long>"
+    )
+    # 3 bands × 2 rows over a 4-slot signature: band 2 runs past the end
+    out = df.select(
+        F.explode(lsh_band_keys(F.col("sig"), 3, 2)).alias("bk")
+    ).select("bk.band", "bk.bucket")
+    bands = sorted(r["band"] for r in out.select("band").distinct().collect())
+    assert bands == [0, 1]  # band 2 dropped, not emitted as a shared ""
+    assert out.count() == 4  # 2 docs × 2 covered bands
+    # the two docs share no covered-band bucket (different signatures)
+    assert out.groupBy("band", "bucket").count().filter("count > 1").count() == 0

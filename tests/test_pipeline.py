@@ -303,6 +303,16 @@ def test_strip_chrome_stage_optional(spark, pages):
         out = pipe.run(planted).cache()
         # the chrome never reaches the verdict/scrub output...
         assert out.filter(F.col("scrubbed_text").contains(footer)).count() == 0
+        # round-6 review: the metric columns must describe the STRIPPED
+        # text, not the pre-strip chrome — s9's final flags and the
+        # outlier stages score these numbers
+        from exome_qc_library_spark.functions.textmetrics import words_expr
+
+        stale = out.filter(
+            F.col("text").isNotNull()
+            & (F.col("word_count") != F.size(words_expr(F.col("text"))))
+        ).count()
+        assert stale == 0
         # ...but rows and keys are preserved (annotate-don't-drop)
         assert out.count() == pages.count()
         # the footer really was in the input (guard against a vacuous test)

@@ -50,3 +50,26 @@ def test_byte_stability_across_runs(spark, pages):
         .count()
     )
     assert diff == 0
+
+
+def test_phone_rule_never_matches_suffix_of_longer_digit_run(spark):
+    """Round-6 review: the phone pattern had no leading anchor, so it
+    matched a SUFFIX of longer digit runs (record ids, serials),
+    corrupting non-PII text. Real phone formats must still scrub."""
+    from exome_qc_library_spark.operators.scrub import scrub_expr
+
+    rows = [
+        ("r1", "id 12345-789-0123 end"),           # 12-digit record id (below
+                                                    # the card rule's 13): keep
+        ("r2", "call 555-123-4567 now"),            # plain phone: scrub
+        ("r3", "call (555) 123-4567 now"),          # paren phone: scrub
+        ("r4", "call +1 555-123-4567 now"),         # country code: scrub
+        ("r5", "serial9555-123-4567x"),             # glued to a digit: keep
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = {r["k"]: r["s"] for r in df.select("k", scrub_expr(F.col("text")).alias("s")).collect()}
+    assert got["r1"] == "id 12345-789-0123 end"
+    assert got["r2"] == "call <PHONE> now"
+    assert got["r3"] == "call <PHONE> now"
+    assert got["r4"] == "call <PHONE> now"
+    assert "9555" in got["r5"] or got["r5"] == rows[4][1]

@@ -161,3 +161,75 @@ def test_write_final_table_token_budget_option(spark, tmp_path):
         for r in c.groupBy("lang_id").agg(F.sum("word_count").alias("s")).collect()
     }
     assert all(v <= budgets[k] for k, v in csums.items())
+
+
+def test_export_jsonl_partitioned_keeps_contract_columns(spark, tmp_path):
+    """Round-6 review: partitionBy removed the partition key from every
+    record (and crashed when the key was outside the projected contract).
+    Shadow-column partitioning must keep every contract column in every
+    record while still laying out one directory per partition value."""
+    import glob
+    import os
+
+    from exome_qc_library_spark.sources.sinks import export_jsonl
+
+    df = spark.createDataFrame(
+        [("u1", "t1", "en"), ("u2", "t2", "de"), ("u3", "t3", "en")],
+        "url string, scrubbed_text string, lang_id string",
+    )
+    # key inside the contract
+    p1 = str(tmp_path / "in_contract")
+    export_jsonl(
+        df, p1, columns=("url", "scrubbed_text", "lang_id"), keep_col=None,
+        compress=False, partition_by=("lang_id",),
+    )
+    assert sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(p1, "__part_lang_id=*"))
+    ) == ["__part_lang_id=de", "__part_lang_id=en"]
+    back = spark.read.schema("url string, scrubbed_text string, lang_id string").json(
+        os.path.join(p1, "__part_lang_id=*", "*.json")
+    )
+    assert back.filter("lang_id IS NULL").count() == 0  # key survives in records
+    assert back.count() == 3
+    # key OUTSIDE the contract: previously an AnalysisException
+    p2 = str(tmp_path / "out_of_contract")
+    export_jsonl(
+        df, p2, columns=("url", "scrubbed_text"), keep_col=None,
+        compress=False, partition_by=("lang_id",),
+    )
+    back2 = spark.read.schema("url string, scrubbed_text string").json(
+        os.path.join(p2, "__part_lang_id=*", "*.json")
+    )
+    assert back2.count() == 3
+    # unknown partition key fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="partition columns"):
+        export_jsonl(df, str(tmp_path / "x"), keep_col=None, partition_by=("nope",))
+
+
+def test_flatten_structs_collision_raises(spark):
+    """Round-6 review: two sources flattening to one name must fail fast,
+    not produce a duplicate-column frame that dies at the terminal CSV."""
+    import pytest
+
+    from exome_qc_library_spark.sources.sinks import flatten_structs
+
+    df = spark.createDataFrame(
+        [((1,), 2)], "a struct<b_c: int>, a_b_c int"
+    )
+    with pytest.raises(ValueError, match="flatten"):
+        flatten_structs(df)
+
+
+def test_fit_pca_ignores_null_embeddings(spark):
+    """Round-6 review: pyspark.ml PCA NPEs on a null vector; fit must
+    exclude NULLs and projection must map them to NULL scores."""
+    from exome_qc_library_spark.operators.pca import pca_scores
+
+    rows = [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(20)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_scores(df, k=2)
+    assert out.count() == 21
+    nulls = out.filter("vec_id = 99").collect()[0]
+    assert nulls["pc1"] is None and nulls["pc2"] is None

@@ -247,3 +247,32 @@ def test_iceberg_backend_contract(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS ice_contract.default.st_contract")
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_import_delimited_explicit_schema_keeps_names(spark, tmp_path):
+    """Round-6 review: the f0..fN rename applies only to headerless files
+    WITHOUT a schema — an explicit schema already names the columns."""
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as fh:
+        fh.write("https://a.com\t123\n")
+    df = import_delimited(
+        spark, p, header=False, schema="url STRING, ts LONG"
+    )
+    assert df.columns == ["url", "ts"]
+    assert df.collect()[0]["ts"] == 123
+    df2 = import_delimited(spark, p, header=False, impute=False)
+    assert df2.columns == ["f0", "f1"]  # headerless+schemaless keeps f-names
+
+
+def test_read_pages_routes_remote_uri_to_parquet(spark):
+    """Round-6 review: os.path.isdir is always False for remote URIs, so
+    s3a://… dataset dirs were misrouted to spark.read.table. Anything
+    path-shaped must take the parquet branch (the error then mentions the
+    path/scheme, not TABLE_OR_VIEW_NOT_FOUND)."""
+    import pytest
+
+    from exome_qc_library_spark.sources.readers import read_pages
+
+    with pytest.raises(Exception) as e:
+        read_pages(spark, "s3a://no-such-bucket/crawl/pages").collect()
+    assert "TABLE_OR_VIEW_NOT_FOUND" not in str(e.value)
