@@ -56,7 +56,7 @@ m AS (
               THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END
            AS mean_word_len,
          CASE WHEN n_chars > 0
-              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / n_chars END
+              THEN length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE / n_chars END
            AS symbol_ratio,
          CASE WHEN len(ws) > 0
               THEN len(list_filter(ws, x -> list_contains({stop}, lower(x))))::DOUBLE / len(ws) END

@@ -56,9 +56,18 @@ def words_expr(text: Column) -> Column:
 
 
 def lines_expr(text: Column) -> Column:
-    """Non-empty trimmed lines."""
+    """Non-empty trimmed lines.
+
+    Splits on ``\\r?\\n`` and trims ALL whitespace per line (round-6
+    review): a bare ``\\n`` split left CRLF text with a trailing ``\\r``
+    on every line — ``endswith('...')`` never matched and every
+    line-based heuristic saw phantom suffixes — and ``F.trim`` strips
+    only spaces, so tab-only lines counted as content."""
     return F.filter(
-        F.transform(F.split(text, r"\n"), lambda line: F.trim(line)),
+        F.transform(
+            F.split(text, r"\r?\n"),
+            lambda line: F.regexp_replace(line, r"^\s+|\s+$", ""),
+        ),
         lambda line: line != "",
     )
 
@@ -80,7 +89,12 @@ def text_metrics(text: Column) -> dict[str, Column]:
     lower_words = F.transform(ws, lambda w: F.lower(w))
     n_stop = F.size(F.filter(lower_words, lambda w: w.isin(*STOPWORD_SET)))
     n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
-    n_sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    # Unicode letter/number classes, not [A-Za-z0-9] (round-6 review):
+    # ASCII-only classes count every accented Latin letter and all CJK as
+    # "symbols", failing legitimate multilingual docs at the 0.10-0.12
+    # thresholds. \p{L}\p{N} is supported identically by Java regex and
+    # the DuckDB oracle's RE2.
+    n_sym = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
     n_ellipsis = F.size(F.filter(lns, lambda line: line.endswith("...")))
     n_bullet = F.size(
         F.filter(

@@ -26,15 +26,30 @@ def host_expr(url: Column) -> Column:
 
 
 def canonical_url_expr(url: Column) -> Column:
-    """Deterministic canonical form: lowercase scheme+host, strip fragment,
-    strip trailing slash, drop default ports."""
+    """Deterministic canonical form: lowercase scheme+authority, strip
+    fragment, strip trailing slash, drop default ports.
+
+    Default ports are scheme-PAIRED (round-6 review): only ``:80`` is
+    default for http and only ``:443`` for https — ``http://h:443`` is a
+    genuinely different endpoint than ``http://h`` and must keep its
+    port, or URL-level dedup merges distinct documents. Schemeless URLs
+    lowercase their authority too (they previously skipped lowercasing
+    entirely, so case variants of one site got different canonical keys
+    while host_expr agreed they were the same host)."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
-    no_port = F.regexp_replace(no_frag, r"(?i)^(https?://[^/:?#]+):(80|443)(?=[/?]|$)", r"$1")
-    lowered = F.concat(
+    no_port = F.regexp_replace(no_frag, r"(?i)^(http://[^/:?#]+):80(?=[/?]|$)", r"$1")
+    no_port = F.regexp_replace(no_port, r"(?i)^(https://[^/:?#]+):443(?=[/?]|$)", r"$1")
+    with_scheme = F.concat(
         F.lower(F.regexp_extract(no_port, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
         F.regexp_extract(no_port, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
     )
-    lowered = F.when(no_port.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), lowered).otherwise(no_port)
+    schemeless = F.concat(
+        F.lower(F.regexp_extract(no_port, r"^([^/?#]*)", 1)),
+        F.regexp_extract(no_port, r"^[^/?#]*(.*)$", 1),
+    )
+    lowered = F.when(
+        no_port.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), with_scheme
+    ).otherwise(schemeless)
     return F.regexp_replace(lowered, r"(?<=[^/])/$", "")
 
 

@@ -84,7 +84,13 @@ def ingest_pages(
 
         out = df.mapInPandas(batches, schema=schema)
     else:
-        decoded = F.decode(F.col("html"), "UTF-8")
+        # cast(binary AS string), NOT decode(..., 'UTF-8'): under Spark 4's
+        # default ANSI mode decode THROWS on any malformed byte, aborting
+        # the whole ingest stage for one bad crawl record (round-6 review,
+        # reproduced). The cast decodes identically on valid UTF-8 and
+        # substitutes U+FFFD on invalid sequences — the graceful
+        # degradation the use_udf path's byte-exactness caveat documents.
+        decoded = F.col("html").cast("string")
         # rlike guard: regexp_extract returns '' on no-match, but a page
         # without a body must be NULL (an empty <p></p> is a real "" text)
         out = df.withColumn(

@@ -61,7 +61,13 @@ def _ppl_batch(texts: pd.Series, max_bytes: int = 4000) -> pd.Series:
         if t is None:
             out.append(None)
             continue
-        b = np.frombuffer(str(t)[:max_bytes].lower().encode("utf-8"), dtype=np.uint8)
+        # char pre-slice bounds the encode work, byte post-slice enforces
+        # the actual byte budget (chars alone overshoot up to 4× on CJK —
+        # round-6 review); a torn trailing codepoint is harmless, the
+        # kernel buckets raw bytes
+        b = np.frombuffer(
+            str(t)[:max_bytes].lower().encode("utf-8")[:max_bytes], dtype=np.uint8
+        )
         if len(b) < 3:
             out.append(None)
             continue

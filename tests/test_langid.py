@@ -56,3 +56,16 @@ def test_synth_accuracy(spark, pages):
     ).collect()[0]
     # class-4 wrong-label docs (~5%) + short docs are expected misses
     assert stats["acc"] > 0.85
+
+
+def test_zero_confidence_prediction_never_flags_mismatch(spark):
+    """Round-6 review: with no stopword evidence the argmax returns the
+    first lexicon language at conf 0.0; such zero-evidence predictions
+    must not fail a doc whose claimed lang differs."""
+    df = spark.createDataFrame(
+        [("u1", "999 777 xkcd qwrt", "en")], "url string, text string, lang string"
+    )
+    out = flag_lang_mismatch(with_langid_expr(df))
+    row = out.collect()[0]
+    assert row["lang_conf"] == 0.0
+    assert "lang_mismatch" not in row["final_failing_qc"]

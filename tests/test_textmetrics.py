@@ -67,3 +67,34 @@ def test_multiline_counts(spark):
     m = metrics_of(spark, "a b c\n\n  \nd e")
     assert m["line_count"] == 2
     assert m["word_count"] == 5
+
+
+def test_symbol_ratio_unicode_letters_not_symbols(spark):
+    """Round-6 review: ASCII-only classes counted every accented letter
+    and all CJK as symbols, failing legitimate multilingual docs at the
+    0.10-0.12 thresholds. Unicode letters/digits must not count."""
+    from exome_qc_library_spark.functions.textmetrics import text_metrics
+
+    rows = [("fr", "héllo naïve café über ñandú"), ("sym", "%%% $$$ @@@ ###")]
+    df = spark.createDataFrame(rows, "k string, text string")
+    m = {r["k"]: r["sr"] for r in df.select(
+        "k", text_metrics(F.col("text"))["symbol_ratio"].alias("sr")
+    ).collect()}
+    assert m["fr"] == 0.0  # accented letters are letters, not symbols
+    assert m["sym"] > 0.4  # real symbols still count
+
+
+def test_line_metrics_handle_crlf(spark):
+    """Round-6 review: a bare \\n split left a trailing \\r on every CRLF
+    line, so endswith('...') never matched and tab-only lines counted as
+    content."""
+    from exome_qc_library_spark.functions.textmetrics import text_metrics
+
+    text = "first line...\r\nsecond line\r\n\t\r\nthird..."
+    df = spark.createDataFrame([(text,)], "text string")
+    m = df.select(
+        text_metrics(F.col("text"))["line_count"].alias("lc"),
+        text_metrics(F.col("text"))["ellipsis_line_frac"].alias("ef"),
+    ).collect()[0]
+    assert m["lc"] == 3  # tab-only line is not content
+    assert abs(m["ef"] - 2 / 3) < 1e-9  # both '...' lines match
