@@ -944,11 +944,13 @@ _Q_QUALITY_SQL = (
     lambda: f"""
 WITH {_metrics_cte()}
 SELECT doc_id,
+  CASE WHEN stopword_density IS NOT NULL AND alpha_word_ratio IS NOT NULL
+            AND symbol_ratio IS NOT NULL THEN
   round(greatest(0.0, least(1.0,
       0.25 * greatest(0.0, least(1.0, stopword_density / 0.4))
     + 0.25 * greatest(0.0, least(1.0, alpha_word_ratio))
     + 0.25 * greatest(0.0, least(1.0, 1.0 - symbol_ratio / 0.2))
-    + 0.25 * greatest(0.0, least(1.0, 1.0 - 0.0)))), 6) AS quality_score
+    + 0.25 * greatest(0.0, least(1.0, 1.0 - 0.0)))), 6) END AS quality_score
 FROM m
 """
 )

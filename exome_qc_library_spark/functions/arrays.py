@@ -45,7 +45,13 @@ def array_sum_expr(a: Column) -> Column:
 
 
 def _elementwise_agg(col: Column, dim: int, agg) -> Column:
-    return F.array(*[agg(F.element_at(col, i + 1)).alias(f"c{i}") for i in range(dim)])
+    # try_element_at: under Spark 4's default ANSI mode a plain
+    # element_at THROWS on any row whose array is shorter than dim,
+    # killing the whole aggregation for one ragged vector (round-6
+    # review); try_ yields NULL, which sum/avg skip
+    return F.array(
+        *[agg(F.try_element_at(col, F.lit(i + 1))).alias(f"c{i}") for i in range(dim)]
+    )
 
 
 def elementwise_agg_sum(col: Column, dim: int) -> Column:

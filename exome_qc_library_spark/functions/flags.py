@@ -129,7 +129,12 @@ def add_flags(
     missing_inputs = missing_inputs or {}
     entries = [flag_entry(t, p, missing_inputs.get(t)) for t, p in rules.items()]
     new_flags = F.filter(F.array(*entries), lambda x: x.isNotNull())
-    out = df.withColumn(flag_col, F.concat(F.col(flag_col), new_flags))
+    # coalesce the accumulator: a NULL flag array (e.g. rows introduced by
+    # an outer join after the column existed) would NULL-propagate through
+    # concat, silently swallowing every flag appended from then on AND
+    # making size(flags)==0 keep-checks evaluate NULL (round-6 review)
+    acc = F.coalesce(F.col(flag_col), F.array().cast("array<string>"))
+    out = df.withColumn(flag_col, F.concat(acc, new_flags))
     md = dict(df.schema[flag_col].metadata)
     vocab = list(md.get(VOCAB_KEY, []))
     for t in rules:

@@ -38,6 +38,8 @@ def flag_blocklisted(
     join, while equi-joins stay hash joins.
     """
     keys = blocklist.select(F.col(list_col).alias("__blocked")).distinct()
+    # the second broadcast reuses the first's exchange (canonicalized
+    # plans match despite the aliases; ReusedExchange verified in tests)
     by_url = F.broadcast(keys.withColumnRenamed("__blocked", "__bu"))
     by_host = F.broadcast(keys.withColumnRenamed("__blocked", "__bh"))
     hit = (
@@ -65,6 +67,16 @@ def flag_substring_matches(
 
 
 def remove_blocklisted(df: DataFrame, blocklist: DataFrame, url_col: str = "url") -> DataFrame:
-    """Eager anti-join variant (the reference's literal semantics, J2)."""
-    bl = blocklist.select(F.col(blocklist.columns[0]).alias(url_col)).distinct()
-    return df.join(F.broadcast(bl), url_col, "left_anti")
+    """Eager anti-join variant (the reference's literal semantics, J2).
+
+    Matches url OR host, the same semantics as :func:`flag_blocklisted`
+    (round-6 review: the url-only anti-join let blocked-HOST docs survive
+    the eager removal path while the flag path caught them). Two chained
+    equi anti-joins — an OR-condition join would force a nested loop."""
+    bl = blocklist.select(F.col(blocklist.columns[0]).alias("__blocked")).distinct()
+    out = df.join(
+        F.broadcast(bl), df[url_col] == bl["__blocked"], "left_anti"
+    )
+    return out.withColumn("__host", host_expr(F.col(url_col))).join(
+        F.broadcast(bl), F.col("__host") == bl["__blocked"], "left_anti"
+    ).drop("__host")

@@ -36,6 +36,17 @@ def enrich_with_host_metadata(
     table (10⁷–10⁸ rows × several columns — multi-GB, past broadcast
     size), where the uniform host key makes the shuffle join safe and
     AQE still broadcasts if the table actually fits."""
+    # fail fast on metadata columns already present in df (round-6 review:
+    # a double enrich — stage re-run, resume — would otherwise produce
+    # duplicate column names that die later as AMBIGUOUS_REFERENCE or
+    # silently resolve to the stale copy); union_cols below enforces the
+    # same rule for the generic column-union
+    clash = (set(df.columns) & set(host_metadata.columns)) - {host_col}
+    if clash:
+        raise ValueError(
+            f"enrich_with_host_metadata: metadata columns {sorted(clash)} "
+            "already exist in the input; drop or rename them first"
+        )
     out = df.withColumn(host_col, host_expr(F.col(url_col)))
     meta = F.broadcast(host_metadata) if broadcast_metadata else host_metadata
     return out.join(meta, host_col, "left")

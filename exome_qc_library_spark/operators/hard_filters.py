@@ -70,19 +70,12 @@ def quality_rules(t: QualityThresholds) -> dict[str, object]:
 
 def _missing_inputs() -> dict[str, list]:
     """Every rule's inputs, for missing_* tagging. A NULL metric (NULL or
-    unextractable text) yields ``missing_<rule>``, never a silent pass."""
-    deps = {
-        "word_count": ["word_count"],
-        "mean_word_len": ["mean_word_len"],
-        "symbol_ratio": ["symbol_ratio"],
-        "dup_line_frac": ["dup_line_frac"],
-        "stopword_density": ["stopword_density"],
-        "alpha_word_ratio": ["alpha_word_ratio"],
-        "ellipsis_line_frac": ["ellipsis_line_frac"],
-        "bullet_line_frac": ["bullet_line_frac"],
-        "max_word_len": ["max_word_len"],
-    }
-    return {tag: [F.col(c) for c in cols] for tag, cols in deps.items()}
+    unextractable text) yields ``missing_<rule>``, never a silent pass.
+
+    Derived from the rules table — every rule's tag IS its single input
+    column; a hand-written second copy would drift when a rule is added
+    or renamed (round-6 review)."""
+    return {tag: [F.col(tag)] for tag in quality_rules(LOW_PASS)}
 
 
 def apply_hard_filters(

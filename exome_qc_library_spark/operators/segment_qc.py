@@ -42,5 +42,12 @@ def flag_segment_outliers(
         & (F.col("__seg_sd") > 0)
         & (F.abs(F.col(measure) - F.col("__seg_mu")) > k_sigma * F.col("__seg_sd"))
     )
-    out = add_flags(out, flag_col, {tag: pred})
+    # missing_inputs: a NULL measure or NULL segment must yield the
+    # missing_<tag> tag, not a silent pass (round-6 review — the same
+    # invariant hard_filters honors for this very metric); join-derived
+    # NULL stats (segment below min_segment_n) are NOT missing inputs and
+    # still pass
+    out = add_flags(
+        out, flag_col, {tag: pred}, {tag: [F.col(measure), F.col(segment_col)]}
+    )
     return out.drop("__seg_mu", "__seg_sd", "__seg_n")

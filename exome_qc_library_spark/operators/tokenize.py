@@ -77,13 +77,26 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
 def quality_score_expr() -> Column:
     """Composite [0,1] quality score from the metric columns — a cheap,
     monotone summary used for ranking/sampling (not for the verdict,
-    which stays an auditable flag conjunction)."""
+    which stays an auditable flag conjunction).
+
+    NULL whenever any input metric is NULL (round-6 review): Spark's
+    ``greatest``/``least`` SKIP NULL arguments, so without the guard an
+    all-NULL-metrics doc (NULL/empty text) clamps to a PERFECT 1.0 and
+    ranks top in quality-based sampling and dedup representative
+    election — the opposite of the missing-is-never-a-pass invariant."""
+    inputs = ("stopword_density", "alpha_word_ratio", "symbol_ratio", "dup_line_frac")
+    defined = F.lit(True)
+    for c in inputs:
+        defined = defined & F.col(c).isNotNull()
     clamp = lambda c: F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))  # noqa: E731
-    return clamp(
-        0.25 * clamp(F.col("stopword_density") / 0.4)
-        + 0.25 * clamp(F.col("alpha_word_ratio"))
-        + 0.25 * clamp(1.0 - F.col("symbol_ratio") / 0.2)
-        + 0.25 * clamp(1.0 - F.col("dup_line_frac"))
+    return F.when(
+        defined,
+        clamp(
+            0.25 * clamp(F.col("stopword_density") / 0.4)
+            + 0.25 * clamp(F.col("alpha_word_ratio"))
+            + 0.25 * clamp(1.0 - F.col("symbol_ratio") / 0.2)
+            + 0.25 * clamp(1.0 - F.col("dup_line_frac"))
+        ),
     )
 
 

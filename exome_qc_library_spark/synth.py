@@ -126,11 +126,18 @@ def synthesize_pages(
     """
     df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     doc_id = F.col("id")
-    cls = _u("class", doc_id, seed, 20)
+    # window ANCHORS (id % 7 == 0) are forced clean (round-6 review): a
+    # dup-classed doc copies base_text(anchor), and an anchor whose own
+    # class rewrites its text (short/symbol/...) rendered ~1/3 of labeled
+    # "exact duplicates" partnerless — label noise for any dedup-recall
+    # evaluation. With clean anchors every class-6 doc has a byte-exact
+    # partner and every class-7 doc a true near partner.
+    cls = F.when(F.pmod(doc_id, F.lit(7)) == 0, F.lit(8)).otherwise(
+        _u("class", doc_id, seed, 20)
+    )
 
     # duplicate classes copy the content of a cluster anchor (id rounded down
-    # to a multiple of 7); an anchor that is itself dup-classed anchors to
-    # itself, so content is always well-defined.
+    # to a multiple of 7), which the rule above guarantees renders base_text
     anchor = doc_id - F.pmod(doc_id, F.lit(7))
     ckey = F.when(cls.isin(6, 7), anchor).otherwise(doc_id)
 
@@ -140,7 +147,13 @@ def synthesize_pages(
     base_text = _to_lines(base)
 
     short_text = F.concat_ws(" ", F.slice(base, 1, 3 + _u("shortlen", doc_id, seed, 8).cast("int")))
-    symbol_text = F.concat(base_text, F.lit(" "), F.repeat(F.lit("@#$%^&*() "), 15))
+    # symbol block scales with the doc (round-6 review): a fixed 150-char
+    # block diluted below the 0.12 low-pass threshold on long docs, so
+    # ~20% of the labeled high-symbol class never tripped its own filter
+    symbol_reps = F.greatest(F.lit(15), F.ceil(F.size(base) / 6)).cast("int")
+    symbol_text = F.concat(
+        base_text, F.lit(" "), F.repeat(F.lit("@#$%^&*() "), symbol_reps)
+    )
     repline_text = F.concat_ws(
         "\n", F.array_repeat(F.concat_ws(" ", F.slice(base, 1, 12)), 10)
     )
