@@ -221,9 +221,12 @@ def main() -> None:
                 time.sleep(10)
             storm_retried = True
             retry = run_pipeline()
-            # keep the better-classified attempt (clean beats storm; two
-            # storms keep the faster one — both are upper bounds)
-            if not retry["storm"] or retry["pipeline_sec"] < res["pipeline_sec"]:
+            # keep the better-classified attempt: a verified-CLEAN retry
+            # (storm is False, not None — an unclassifiable probe failure
+            # must not displace a measured classification, round-6 review)
+            # beats a storm; two storms keep the faster one — both are
+            # upper bounds
+            if retry["storm"] is False or retry["pipeline_sec"] < res["pipeline_sec"]:
                 res = retry
         timings["pipeline_e2e"] = round(res["pipeline_sec"], 3)
     finally:

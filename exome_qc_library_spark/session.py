@@ -15,6 +15,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _jvm_not_launched() -> bool:
+    """True iff the py4j gateway JVM does not exist yet. getActiveSession()
+    is the WRONG probe for launch-time-only JVM options: after
+    spark.stop() the session is gone but the gateway JVM survives, so a
+    second build_session would set extraJavaOptions that silently never
+    apply (round-6 review) — the A/B they configure would be attributed
+    to a flag that never took effect."""
+    from pyspark import SparkContext
+
+    return SparkContext._gateway is None
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
@@ -63,7 +75,7 @@ def build_session(
     # steady-state execution stops taking page faults under mmap_lock — the
     # round-5 kernel-storm diagnosis, BENCH.md).
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
-    if java_opts and not SparkSession.getActiveSession():
+    if java_opts and _jvm_not_launched():
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

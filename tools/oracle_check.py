@@ -41,32 +41,41 @@ def canon(df: pd.DataFrame, unordered_cols: set | bool = False) -> pd.DataFrame:
     opt-in per column, so a contractual array ordering can never be
     silently masked by the harness (round-3 ADVICE)."""
 
+    def _is_seq(v) -> bool:
+        return isinstance(v, (list, set, tuple)) or type(v).__name__ == "ndarray"
+
     def elem(e, unordered: bool) -> str:
         """Element-wise canon for list cells: floats rounded like scalar
-        floats; elements sorted only when the column opted in."""
-        if e is None or (not isinstance(e, (list, set, tuple)) and pd.isna(e)):
+        floats; elements sorted only when the column opted in.
+
+        Sequence check FIRST (round-6 review): pd.isna(ndarray) returns
+        an array, so an isna-first guard raised 'truth value is
+        ambiguous' on every multi-element array cell — both Spark
+        toPandas (Arrow) and DuckDB .df() hand list columns back as
+        ndarrays. Signed zero is normalized (+0.0) so -1e-9 vs +1e-9
+        both canonicalize to '0.0' within the 6-dp tolerance."""
+        if _is_seq(e):
+            inner = [elem(x, unordered) for x in e]
+            return str(sorted(inner) if unordered else inner)
+        if e is None or pd.isna(e):
             return "__NULL__"
         if isinstance(e, bool):
             return str(e)
         if isinstance(e, float):
-            return repr(round(e, 6))
-        if isinstance(e, (list, set, tuple)) or type(e).__name__ == "ndarray":
-            inner = [elem(x, unordered) for x in e]
-            return str(sorted(inner) if unordered else inner)
+            return repr(round(e, 6) + 0.0)
         return str(e)
 
     def cell(v, kind: str, unordered: bool) -> str:
-        if v is None or (not isinstance(v, (list, set, tuple)) and pd.isna(v)):
+        if _is_seq(v):
+            return elem(v, unordered)
+        if v is None or pd.isna(v):
             return "__NULL__"
         if kind == "i":
             return str(int(v))
         if kind == "f":
-            return repr(round(float(v), 6))
+            return repr(round(float(v), 6) + 0.0)
         if kind == "b":
             return str(bool(v))
-        if isinstance(v, (list, set, tuple)) or type(v).__name__ == "ndarray":
-            inner = [elem(e, unordered) for e in v]
-            return str(sorted(inner) if unordered else inner)
         return str(v)
 
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -96,6 +105,13 @@ def main() -> int:
     only = set(sys.argv[2:])
     from exome_qc_library_spark.entry_queries import QUERIES
     from exome_qc_library_spark.session import build_session
+
+    # a typo'd name would otherwise run ZERO queries and exit 0 with an
+    # all-OK summary — the gate passing vacuously (round-6 review)
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
 
     spark = build_session(app_name="oracle_check")
     con = duckdb.connect()
@@ -146,7 +162,8 @@ def main() -> int:
             continue
         print(f"OK    {name}: {len(a)} rows match ({t_spark:.1f}s)")
     spark.stop()
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} queries OK")
+    n_run = len(only) if only else len(QUERIES)
+    print(f"\n{n_run - len(failures)}/{n_run} queries OK")
     return 1 if failures else 0
 
 
