@@ -1306,12 +1306,14 @@ hm AS (
 ),
 st AS (SELECT lang, avg(mwc) AS mu, stddev_samp(mwc) AS sd FROM hm GROUP BY lang),
 bad AS (
-  SELECT DISTINCT host, lang FROM hm JOIN st USING (lang)
+  SELECT DISTINCT hm.host, hm.lang FROM hm
+  JOIN st ON hm.lang IS NOT DISTINCT FROM st.lang
   WHERE coalesce(sd > 1e-9 * greatest(abs(mu), 1.0)
                  AND abs(mwc - mu) > 1.0 * sd, false)
 )
 SELECT d.doc_id, (b.host IS NOT NULL) AS host_outlier
-FROM d LEFT JOIN bad b USING (host, lang)
+FROM d LEFT JOIN bad b
+  ON d.host = b.host AND d.lang IS NOT DISTINCT FROM b.lang
 """
 
 

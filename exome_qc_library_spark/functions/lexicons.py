@@ -21,7 +21,11 @@ LEXICONS: dict[str, tuple[str, ...]] = {
     ),
     "de": (
         "der", "die", "das", "und", "ist", "nicht", "ich", "zu", "mit", "ein",
-        "auf", "den", "sie", "ser", "des", "im", "eine", "als", "auch", "sich",
+        # "er", not "ser" (round-6 review: "ser" is the Spanish copula —
+        # it credited the GERMAN density/trigram score on real Spanish
+        # text, and the closed loop of synth/scorer/oracle sharing this
+        # table meant no test could see it)
+        "auf", "den", "sie", "er", "des", "im", "eine", "als", "auch", "sich",
     ),
     "fr": (
         "le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que",

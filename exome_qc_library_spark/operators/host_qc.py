@@ -142,7 +142,16 @@ def flag_host_outliers(
     hm = host_metrics(df, url_col=url_col, batch_col=batch_col, measures=measures)
     stats = host_outlier_stats(hm, batch_col=batch_col, measures=measures)
     if batch_col:
-        scored = hm.join(F.broadcast(stats), batch_col, "left")
+        # NULL-SAFE batch equality (round-6 review): plain equi-joins drop
+        # NULL batch keys on the floor (NULL != NULL), so hosts with
+        # missing batch metadata — a LEFT-joined enrich leaves exactly
+        # those — silently never matched their stats row and could never
+        # be flagged, however extreme. The NULL batch is its own stratum.
+        scored = hm.join(
+            F.broadcast(stats.withColumnRenamed(batch_col, "__stats_batch")),
+            F.col(batch_col).eqNullSafe(F.col("__stats_batch")),
+            "left",
+        ).drop("__stats_batch")
     else:
         scored = hm.crossJoin(F.broadcast(stats))
     outlier_cond = None
@@ -174,11 +183,15 @@ def flag_host_outliers(
     # consulted nor clobbered, and the stage output schema must not
     # silently gain a derived column (same restore rule as the s2c
     # host-cap stage)
-    join_keys = ["__qc_host"] + ([batch_col] if batch_col else [])
-    out = df.withColumn("__qc_host", host_expr(F.col(url_col))).join(
-        bad.withColumnRenamed("host", "__qc_host"), join_keys, "left"
-    )
+    withq = df.withColumn("__qc_host", host_expr(F.col(url_col)))
+    bad2 = bad.withColumnRenamed("host", "__bad_host")
+    cond = F.col("__qc_host") == F.col("__bad_host")
+    if batch_col:
+        bad2 = bad2.withColumnRenamed(batch_col, "__bad_batch")
+        # NULL-safe on the batch key, same rationale as the stats join
+        cond = cond & F.col(batch_col).eqNullSafe(F.col("__bad_batch"))
+    out = withq.join(bad2, cond, "left")
     out = add_flags(
         out, flag_col, {"host_outlier": F.coalesce(F.col("__host_outlier"), F.lit(False))}
     )
-    return out.drop("__host_outlier", "__qc_host")
+    return out.drop("__host_outlier", "__qc_host", "__bad_host", "__bad_batch")

@@ -134,6 +134,12 @@ class Pipeline:
         of stages at/after it are treated as STALE and rebuilt (the
         reference's "rerun from step N" knob), while stages before it still
         resume from their checkpoints as usual.
+
+        Lazy (``materialize=False``) stage params fold into the NEXT
+        checkpoint's manifest; a TRAILING lazy stage therefore has no
+        manifest to record its params in — they are visible only in the
+        returned DataFrame's lineage. Keep the terminal stage materialized
+        when the manifest record matters.
         """
         names = [s.name for s in self.stages]
         if from_stage is not None and from_stage not in names:
@@ -149,6 +155,29 @@ class Pipeline:
             if st.materialize and not force and self.store.exists(st.name):
                 df = self.store.read(st.name)
                 pending_params = {}
+                # backfill accounting checkpoints lost to a crash between
+                # the stage write and the flag-count writes (round-6
+                # review): resume would otherwise skip the stage and leave
+                # report() silently missing that stage's histograms forever
+                for ac_i, ac in enumerate(
+                    a
+                    for a in (
+                        (st.account_flags,)
+                        if isinstance(st.account_flags, str)
+                        else (st.account_flags or ())
+                    )
+                    if a in df.columns
+                ):
+                    suffix = "" if ac_i == 0 else f"_{ac}"
+                    cname = f"{st.name}__flag_counts{suffix}"
+                    if not self.store.exists(cname):
+                        self.store.write(
+                            flag_count_df(df, ac),
+                            cname,
+                            params={"of": st.name, "column": ac},
+                            parent=st.name,
+                            count_rows=False,
+                        )
                 self.results.append(
                     StageResult(st.name, True, time.monotonic() - t0, None)
                 )
@@ -179,8 +208,15 @@ class Pipeline:
                         )
                     # row counting is one extra job per checkpoint; only the
                     # terminal stage needs it for the manifest (intermediate
-                    # row counts are recoverable from parquet footers)
-                    is_last = st.name == self.stages[-1].name
+                    # row counts are recoverable from parquet footers). Last
+                    # MATERIALIZED stage by index (round-6 review: a name
+                    # compare against stages[-1] was never True when the
+                    # final stage is lazy, so no checkpoint recorded rows)
+                    last_mat = max(
+                        (j for j, s in enumerate(self.stages) if s.materialize),
+                        default=-1,
+                    )
+                    is_last = i == last_mat
                     df = self.store.write(
                         out,
                         st.name,

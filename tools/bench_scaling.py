@@ -27,10 +27,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
 )
-if len(LEVELS) != 2:
-    # fail BEFORE the hour of benching, not at the `n, m = LEVELS` report
+if len(LEVELS) != 2 or LEVELS[0] >= LEVELS[1]:
+    # fail BEFORE the hour of benching, not at the `n, m = LEVELS` report.
+    # Strictly increasing (round-6 review): "32,8" would silently invert
+    # the efficiency formula (~16x too large) and "8,8" reports eff=1.0
+    # evidence from a non-scaling run
     raise SystemExit(
-        f"SPARK_GRAFT_LEVELS must name exactly two levels (N,4N); got {LEVELS}"
+        f"SPARK_GRAFT_LEVELS must name two strictly increasing levels (N,4N); got {LEVELS}"
     )
 
 
@@ -63,8 +66,15 @@ def _synth_token() -> str:
     a fresh synth regardless."""
     import hashlib
 
-    with open(os.path.join(REPO, "exome_qc_library_spark", "synth.py"), "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()[:10]
+    h = hashlib.sha256()
+    # lexicons.py feeds synthesize_pages' word tables — a lexicon edit
+    # without a synth.py edit must also invalidate the cache (round-6
+    # review: the "ser" lexicon fix would have silently benched the
+    # pre-fix corpus otherwise)
+    for mod in ("synth.py", os.path.join("functions", "lexicons.py")):
+        with open(os.path.join(REPO, "exome_qc_library_spark", mod), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
 
 
 def synth_pages_once(docs: int) -> str:
@@ -140,7 +150,7 @@ from exome_qc_library_spark.synth import synthesize_pages
 from exome_qc_library_spark.operators.hard_filters import apply_hard_filters
 spark = build_session(parallelism={cpus}, app_name="cal{cpus}")
 p = tempfile.mkdtemp()
-docs = int(__import__("os").environ.get("SPARK_GRAFT_SCALING_DOCS", "200000"))
+docs = int(__import__("os").environ.get("SPARK_GRAFT_SCALING_DOCS", "500000"))
 synthesize_pages(spark, n_docs=docs, seed=42, with_edge_cases=False).write.mode("overwrite").parquet(p+"/pg")
 pg = spark.read.parquet(p+"/pg").drop("html")
 apply_hard_filters(pg.limit(2000)).write.format("noop").mode("overwrite").save()
@@ -260,11 +270,14 @@ def main() -> None:
         for lv in LEVELS:
             cal[lv] = min(cal[lv], calibrate_level(lv))
             print(json.dumps({"cal_level": lv, "sec": cal[lv]}), flush=True)
-    cal_eff = (cal[n] / cal[m]) / (m / n)
+    # cal_reps=0 (calibration skipped) must not leak inf/NaN into the
+    # JSON report (round-6 review): publish null ceilings instead
+    have_cal = all(v != float("inf") for v in cal.values())
+    cal_eff = (cal[n] / cal[m]) / (m / n) if have_cal else None
     report = {
         "levels": LEVELS,
-        "machine_ceiling_secs": cal,
-        "machine_ceiling_efficiency": round(cal_eff, 3),
+        "machine_ceiling_secs": cal if have_cal else None,
+        "machine_ceiling_efficiency": round(cal_eff, 3) if cal_eff else None,
         "normalized_efficiency": round(eff / cal_eff, 3) if cal_eff else None,
         f"pipeline_sec_local{n}": t_n,
         f"pipeline_sec_local{m}": t_m,
@@ -308,11 +321,12 @@ def main() -> None:
                     f"not CPU. ≈1.0 means the engine does the same total work at "
                     f"both levels (no serial inflation at 4N)."
                 )
-            lines.append(
-                f"\nMachine ceiling (pure-parallel expression job, same input): "
-                f"{cal_eff:.3f} → pipeline efficiency normalized to what this "
-                f"shared box can deliver: **{eff / cal_eff:.3f}**\n"
-            )
+            if cal_eff:
+                lines.append(
+                    f"\nMachine ceiling (pure-parallel expression job, same input): "
+                    f"{cal_eff:.3f} → pipeline efficiency normalized to what this "
+                    f"shared box can deliver: **{eff / cal_eff:.3f}**\n"
+                )
             lines.append(
                 f"Protocol: interleaved repeats per level on identical input "
                 f"(seed 42, {docs} pre-synthesized pages incl. full pipeline + "
