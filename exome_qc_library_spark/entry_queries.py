@@ -30,8 +30,19 @@ from .operators.tokenize import BPE_ISH_PATTERN, bpe_ish_token_count, whitespace
 # ---------------------------------------------------------------- helpers
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(spark: SparkSession, sf_dir: str, name: str, spread_on: str | None = None) -> DataFrame:
+    """Read one testdata table; ``spread_on=<key>`` additionally rounds a
+    scan out to the session cores when the parquet layout under-splits it
+    (single-row-group files — see :func:`..sources.readers.spread_scan`).
+    Opt-in per query: only paths whose heavy per-row work would otherwise
+    fuse into a one-task scan stage ask for it; queries that begin with
+    their own exchange (window/groupBy-first) gain nothing and skip it."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread_on is not None:
+        from .sources.readers import spread_scan
+
+        df = spread_scan(df, spread_on)
+    return df
 
 
 def _sql_list(words) -> str:
@@ -84,7 +95,7 @@ _DOC_RULES_SQL = [
 
 
 def _doc_metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread_on="doc_id")
     m = text_metrics(F.col("text"))
     return docs.withColumns(
         {
@@ -220,7 +231,7 @@ FROM d
 
 def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K11 regex scrub + pii_hits metric (fixed-order chain)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread_on="doc_id")
     return docs.select(
         "doc_id",
         scrub_expr(F.col("text")).alias("scrubbed_text"),
@@ -245,7 +256,7 @@ FROM documents
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex pretokens."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread_on="doc_id")
     return docs.select(
         "doc_id",
         whitespace_token_count(F.col("text")).alias("ws_tokens"),
@@ -423,7 +434,10 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Small dims broadcast (the reference's resource-table joins)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    # the broadcast joins + partial agg fuse into the orders scan stage, so
+    # an under-split orders layout (2 row groups at sf1.0) serializes the
+    # whole probe side — spread it (no-op when the layout is already wide)
+    orders = _t(spark, sf_dir, "orders", spread_on="o_orderkey")
     nation = _t(spark, sf_dir, "nation")
     df = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

@@ -131,8 +131,17 @@ def score_text_udf(with_tokens: bool = False) -> Column:
 
 
 def with_text_scores(
-    df: DataFrame, text_col: str = "text", with_tokens: bool = False
+    df: DataFrame, text_col: str = "text", with_tokens: bool = False, spread: bool = True
 ) -> DataFrame:
+    if spread:
+        # the ArrowEvalPython scorer fuses into the scan stage; a scan whose
+        # parquet layout yields fewer row groups than cores would run the
+        # whole model pass on one core (no-op at real scale — see
+        # sources.readers.spread_scan). Hash on the text itself: always
+        # present, high-cardinality, deterministic under retry.
+        from ..sources.readers import spread_scan
+
+        df = spread_scan(df, text_col)
     s = score_text_udf(with_tokens=with_tokens)(F.col(text_col))
     cols = {
         "lang_id": F.col("__sc.lang_id"),

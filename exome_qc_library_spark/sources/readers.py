@@ -66,6 +66,80 @@ def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# (files tuple) → row-group count, counted only up to the cores it must
+# cover; footer reads are driver-side metadata, cached per file set
+_SCAN_UNITS_CACHE: dict[tuple[str, ...], int] = {}
+
+
+def _parquet_scan_units(files: tuple[str, ...], cap: int) -> int:
+    """Count parquet row groups across ``files``, stopping at ``cap``.
+
+    A row group is the minimum scan-split unit: Spark hands out byte-range
+    splits, but only the split containing a row-group start produces rows,
+    so a table written as one file with one row group is read by ONE task
+    regardless of ``maxPartitionBytes``. Only the file footers can reveal
+    this — partition counts cannot (the empty byte-range splits still
+    exist)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        local = f[len("file:"):] if f.startswith("file:") else f
+        if "://" in local:
+            # non-local URI — footer probing is not worth a remote
+            # round-trip; treat as adequately split (real deployments
+            # write many files/row groups)
+            return cap
+        total += pq.ParquetFile(local).metadata.num_row_groups
+        if total >= cap:
+            break
+    return total
+
+
+def spread_scan(
+    df: DataFrame, *key_cols: str, parallelism: int | None = None
+) -> DataFrame:
+    """Repartition a scan whose parquet layout under-parallelizes it.
+
+    Scale-adaptive (guide §2.5 "input skew — one huge unsplittable file"):
+    the decision derives from the input's actual layout, not a constant.
+    When the scan already yields at least ``parallelism`` row groups —
+    i.e. any production-scale table — this is a NO-OP and no exchange is
+    added. Only when the layout would idle the cluster (fewer row groups
+    than cores, e.g. a single-row-group export) does it insert one hash
+    repartition on ``key_cols`` so every downstream projection fused into
+    the scan stage runs wide instead of on one core. Hash-on-a-key (vs
+    round-robin) avoids the sort-before-repartition local sort AND is
+    deterministic under task retry; pass a high-cardinality key.
+
+    Use ONLY where heavy per-row work would otherwise fuse into the scan
+    stage. A query whose first operation is already an exchange (groupBy,
+    window) gains nothing — its post-shuffle work is already wide — and
+    would just pay an extra shuffle.
+    """
+    if df.isStreaming:
+        return df
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if n <= 1:
+        return df
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        if not files:
+            return df
+        key = (*files, str(n))
+        units = _SCAN_UNITS_CACHE.get(key)
+        if units is None:
+            units = _parquet_scan_units(files, n)
+            if len(_SCAN_UNITS_CACHE) > 4096:
+                _SCAN_UNITS_CACHE.clear()
+            _SCAN_UNITS_CACHE[key] = units
+    except Exception:  # noqa: BLE001 — layout probing must never break a read
+        return df
+    if units >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan of the pages table (url, warc_ts, html, text, lang) — parquet
     path or catalog table name.
