@@ -459,7 +459,12 @@ def mp4_meta_from_hex(hx: Column, max_boxes: int = 16) -> Column:
         return F.conv(F.substring(hx, p * 2 - 1, 8), 16, 10).cast("long")
 
     def be64(p: Column) -> Column:
-        return F.conv(F.substring(hx, p * 2 - 1, 16), 16, 10).cast("long")
+        # try_cast, not cast: conv() of 16 garbage hex digits yields an
+        # UNSIGNED value up to 2^64-1 as a string, and under ANSI mode a
+        # plain cast THROWS for anything >= 2^63 — one hostile v1 header
+        # would abort the whole stage instead of yielding NULL (the
+        # torn/hostile-header contract every other branch here keeps)
+        return F.conv(F.substring(hx, p * 2 - 1, 16), 16, 10).try_cast("long")
 
     is_mp4 = F.substring(hx, 9, 8) == "66747970"  # 'ftyp' at byte 5
     init = F.struct(
@@ -510,7 +515,13 @@ def mp4_meta_from_hex(hx: Column, max_boxes: int = 16) -> Column:
             F.lit(None).cast("long").alias("channels"),
             F.lit(None).cast("long").alias("bits_per_sample"),
             st["ts"].alias("timescale"),
-            F.floor(st["dur"] * 1000 / st["ts"]).cast("long").alias("duration_ms"),
+            # try_multiply: a 64-bit v1 duration > ~9.2e15 overflows the
+            # long multiply under ANSI — yield NULL duration_ms for such
+            # garbage instead of aborting the job (no real clip is 292k
+            # years long, so in-range values are untouched)
+            F.floor(F.try_multiply(st["dur"], F.lit(1000)) / st["ts"])
+            .cast("long")
+            .alias("duration_ms"),
         ),
     )
 

@@ -329,7 +329,9 @@ def train_centroids_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = df.select(
+    # pyspark.ml KMeans NPEs on a null vector exactly like fit_pca (which
+    # filters for the same reason) — drop NULL embeddings before assembly
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(vecs)

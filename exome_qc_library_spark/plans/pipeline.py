@@ -344,10 +344,19 @@ class Pipeline:
         else:
             rows = df.agg(F.lit(0).alias("gid"), *aggs).collect()
             all_margins = 0
-        glob = next(r for r in rows if r["gid"] == all_margins)
+        # cube() over ZERO rows emits no grouping-set rows at all, so an
+        # all-filtered terminal table has no grand-total row — synthesize an
+        # empty totals block instead of crashing with StopIteration
+        glob = next((r for r in rows if r["gid"] == all_margins), None)
 
         def keep_block(r) -> dict[str, Any]:
-            b: dict[str, Any] = {"rows": r["n"]}
+            if r is None:
+                b: dict[str, Any] = {"rows": 0}
+                if "keep" in df.columns:
+                    b["kept"] = 0
+                    b["keep_rate"] = None
+                return b
+            b = {"rows": r["n"]}
             if "keep" in df.columns:
                 b["kept"] = r["n_keep"]
                 b["keep_rate"] = round(r["n_keep"] / r["n"], 4) if r["n"] else None
@@ -363,7 +372,7 @@ class Pipeline:
             }
         metrics = {
             c: {f"p{int(q * 100):02d}": glob[f"q_{c}"][j] for j, q in enumerate(qs)}
-            if glob[f"q_{c}"] is not None
+            if glob is not None and glob[f"q_{c}"] is not None
             else None
             for c in mcols
         }

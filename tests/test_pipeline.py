@@ -429,3 +429,26 @@ def test_report_flag_counts_attribution_with_absent_declared_column(spark, pages
         assert fc["fl"]["short"] == n_short
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_report_on_empty_terminal_checkpoint(spark, pages):
+    """Round-6 ADVICE: cube() over ZERO rows emits no grouping-set rows,
+    so report() on an all-filtered (empty) terminal table used to crash
+    with StopIteration looking for the grand-total row. It must instead
+    return a rows=0 totals block and NULL metrics."""
+    from exome_qc_library_spark.plans.pipeline import Pipeline, Stage
+
+    root = tempfile.mkdtemp(prefix="ckpt_empty_")
+    try:
+        store = CheckpointStore(spark, root)
+        pipe = Pipeline(
+            [Stage("empty", lambda df: df.filter(F.lit(False)))], store
+        )
+        out = pipe.run(pages)
+        assert out.count() == 0
+        rep = pipe.report(write_json=False)
+        assert rep["totals"] == {"rows": 0}
+        assert all(v is None for v in rep["metrics"].values())
+        assert all(block == {} for block in rep["by"].values())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

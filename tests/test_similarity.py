@@ -333,3 +333,20 @@ def test_numpy_brute_matches_expression_with_null_and_zero_vectors(spark):
         (2, None),
         (3, None),
     ]
+
+
+def test_kmeans_centroids_tolerate_null_embedding(spark):
+    """Round-6 ADVICE: pyspark.ml KMeans NPEs on a NULL vector exactly
+    like the PCA fitter did — train_centroids_kmeans must filter NULL
+    embeddings before assembly instead of crashing."""
+    from exome_qc_library_spark.operators.similarity import train_centroids_kmeans
+
+    base = _vecs(spark)
+    with_null = base.unionByName(
+        spark.createDataFrame([(99, None)], base.schema)
+    )
+    cents = train_centroids_kmeans(with_null, n_centroids=2)
+    assert cents.count() == 2
+    # the NULL row contributes nothing: same centers as without it
+    ref = train_centroids_kmeans(base, n_centroids=2)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, ref.collect()))

@@ -334,6 +334,12 @@ def test_media_av_wav_mp4_expressions(spark):
         ("mp4_plain", _mp4_bytes()),
         ("mp4_free", _mp4_bytes(timescale=90000, duration=90000 * 7 + 45000, free_size=73)),
         ("mp4_v1", _mp4_bytes(timescale=600, duration=600 * 120, v1=True)),
+        # hostile v1 durations (round-6 ADVICE): a garbage 64-bit duration
+        # >= 2^63 used to THROW under ANSI at the conv(...).cast('long'),
+        # and one in (2^63/1000, 2^63) overflowed the *1000 multiply —
+        # both must yield NULL duration_ms, never abort the stage
+        ("mp4_v1_hostile_hi", _mp4_bytes(timescale=600, duration=(1 << 63) + 12345, v1=True)),
+        ("mp4_v1_hostile_mul", _mp4_bytes(timescale=600, duration=(1 << 63) // 1000 + 7, v1=True)),
         ("mp4_torn", b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00\x00\x00\x00\x00moov"),  # size 0 follows
         ("not_av", b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),
         ("null", None),
@@ -360,6 +366,10 @@ def test_media_av_wav_mp4_expressions(spark):
     assert fr["timescale"] == 90000 and fr["duration_ms"] == 7500
     v1 = out["mp4_v1"]
     assert v1["timescale"] == 600 and v1["duration_ms"] == 120000
+    hi = out["mp4_v1_hostile_hi"]
+    assert hi["timescale"] == 600 and hi["duration_ms"] is None
+    mul = out["mp4_v1_hostile_mul"]
+    assert mul["timescale"] == 600 and mul["duration_ms"] is None
     assert out["mp4_torn"] is None
     assert out["not_av"] is None and out["null"] is None
 
