@@ -376,14 +376,32 @@ FROM documents GROUP BY source
 
 
 def q_segment_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13/W1 batch-stratified outlier detection via analytic window."""
+    """A13/W1 batch-stratified outlier detection.
+
+    Round-7 plan change (guide §2.4/§2.5/§3.1): the original analytic
+    window ``partitionBy(source)`` shuffled and sorted the ENTIRE doc
+    table into at most #sources partitions — ``source`` has a handful of
+    distinct values, so at any scale the window stage runs on that many
+    tasks while the rest of the cluster idles (the low-cardinality-key
+    skew the guide warns about; AQE cannot split a single key). The
+    per-source μ/σ is a ~#sources-row aggregate, so compute it with a
+    partial-agg groupBy (map-side combine, tiny shuffle) and broadcast it
+    back: the doc table is never shuffled and never sorted, and the scan
+    stays fully parallel. NULL-safe join keeps the NULL-source stratum
+    (a plain equi-join would drop it). Same rows, verified against the
+    unchanged oracle and bit-compared with the window form."""
     docs = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("source")
-    mu = F.avg("n_chars").over(w)
-    sd = F.stddev_samp("n_chars").over(w)
-    return docs.select(
-        "doc_id",
-        F.coalesce(F.abs(F.col("n_chars") - mu) > 2 * sd, F.lit(False)).alias("is_outlier"),
+    stats = docs.groupBy(F.col("source").alias("__src")).agg(
+        F.avg("n_chars").alias("__mu"), F.stddev_samp("n_chars").alias("__sd")
+    )
+    return (
+        docs.join(F.broadcast(stats), F.col("source").eqNullSafe(F.col("__src")), "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.abs(F.col("n_chars") - F.col("__mu")) > 2 * F.col("__sd"), F.lit(False)
+            ).alias("is_outlier"),
+        )
     )
 
 
@@ -396,8 +414,16 @@ FROM documents
 
 
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O/W top-k per group: top-3 orders per customer by totalprice."""
-    orders = _t(spark, sf_dir, "orders")
+    """O/W top-k per group: top-3 orders per customer by totalprice.
+
+    ``spread_on="o_custkey"`` (round 7): on an under-split orders layout
+    the pre-exchange sort + partial WindowGroupLimit ran on as few tasks
+    as there are row groups; hash-repartitioning on the WINDOW key to the
+    session partition count satisfies the window's distribution
+    requirement outright (guide §2.4 — same key, same partition count →
+    the exchange is REUSED, still exactly one in the plan), so the sort +
+    top-k run at full width. No-op on any adequately-split input."""
+    orders = _t(spark, sf_dir, "orders", spread_on="o_custkey")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rk"))

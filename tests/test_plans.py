@@ -106,3 +106,26 @@ def test_whole_stage_codegen_on_scan_agg(spark):
         plan = _plan(df)
         # AQE's final-plan rendering marks codegen stages as `*(n) Operator`
         assert re.search(r"\*\(\d+\) (Hash|Sort)Aggregate", plan), (name, plan[:400])
+
+
+def test_segment_zscore_plan_is_window_free(spark):
+    """Round 7: the per-source z-score must never shuffle the doc table
+    into #sources window partitions (low-cardinality key skew) — the
+    stats side is a partial-agg groupBy broadcast back; only the tiny
+    per-source aggregate crosses an exchange."""
+    plan = _plan(q("segment_zscore", spark))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the doc (probe) side reaches the join straight from the scan — the
+    # only Sort in an agg+broadcast plan would be a stray window artifact
+    assert "Sort" not in plan
+
+
+def test_window_topk_single_exchange_with_group_limit(spark):
+    """Round 7: the spread repartition keys on the WINDOW key, so the
+    window reuses it (guide §2.4) — exactly one data exchange besides the
+    broadcast-free plan, and Spark 4's WindowGroupLimit top-k pruning
+    must survive the rewrite."""
+    plan = _plan(q("window_topk", spark))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2  # AQE may or may not fold the spread
